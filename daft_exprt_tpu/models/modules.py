@@ -1,0 +1,143 @@
+"""Shared neural building blocks (flax.linen).
+
+TPU-first re-design of the reference building blocks
+(reference: src/daft_exprt/model.py:57-259): static shapes + boolean validity
+masks everywhere (no data-dependent shapes), sinusoidal positions as a
+precomputed table add (replacing the reference's per-row Python loops at
+model.py:136-150), and attention as batched einsum over heads so XLA tiles
+the contractions onto the MXU.
+
+Parameter layouts intentionally mirror the PyTorch modules one-to-one so the
+reference checkpoints convert mechanically (see checkpoint.py).
+"""
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def sequence_mask(lengths, max_len):
+    """(B,) lengths → (B, max_len) bool validity mask (True = valid)."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+def sinusoidal_table(max_len, embed_dim, timestep=10000.0):
+    """Sinusoidal position table (max_len, embed_dim), float32.
+
+    Matches the reference table (reference: src/daft_exprt/model.py:123-130):
+    even columns sin, odd columns cos, frequencies exp(-2i ln(T)/d).
+    """
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, embed_dim, 2, dtype=np.float64)
+                 * (-np.log(timestep) / embed_dim))[None, :]
+    table = np.zeros((max_len, embed_dim), dtype=np.float64)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(table, dtype=jnp.float32)
+
+
+class LinearNorm(nn.Module):
+    """Dense layer (torch LinearNorm equivalent, model.py:57-72)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        name='linear_layer')(x)
+
+
+class ConvNorm1D(nn.Module):
+    """1D convolution over (B, L, C) with SAME padding (model.py:75-94)."""
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, kernel_size=(self.kernel_size,),
+                       kernel_dilation=(self.dilation,), padding='SAME',
+                       use_bias=self.use_bias, name='conv')(x)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention + dropout + residual + LayerNorm (model.py:153-193).
+
+    Packed qkv projection mirrors torch.nn.MultiheadAttention so reference
+    checkpoints map directly (in_proj kernel (d, 3d), out_proj (d, d)).
+    """
+    embed_dim: int
+    num_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, valid_mask, deterministic=True):
+        d, h = self.embed_dim, self.num_heads
+        head_dim = d // h
+        qkv = nn.Dense(3 * d, name='in_proj')(x)            # (B, L, 3d)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = head_dim ** -0.5
+
+        def split_heads(t):                                  # (B, L, d)→(B,h,L,hd)
+            b, l, _ = t.shape
+            return t.reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q) * scale, split_heads(k), split_heads(v)
+        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32)
+        neg = jnp.asarray(-1e9, dtype=logits.dtype)
+        logits = jnp.where(valid_mask[:, None, None, :], logits, neg)
+        weights = nn.softmax(logits, axis=-1)
+        weights = nn.Dropout(self.dropout, name='attn_drop')(
+            weights, deterministic=deterministic)
+        out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
+        b, _, l, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        out = nn.Dense(d, name='out_proj')(out)
+        out = nn.Dropout(self.dropout, name='resid_drop')(
+            out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=1e-5, name='layer_norm')(out + x)
+        return out
+
+
+class PositionWiseConvFF(nn.Module):
+    """Two convs + ReLU + dropout + residual + LN + FiLM (model.py:196-235)."""
+    embed_dim: int
+    conv_channels: int
+    kernel_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, film_params, deterministic=True):
+        y = ConvNorm1D(self.conv_channels, self.kernel_size, name='conv1')(x)
+        y = nn.relu(y)
+        y = ConvNorm1D(self.embed_dim, self.kernel_size, name='conv2')(y)
+        y = nn.Dropout(self.dropout, name='drop')(y, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, name='layer_norm')(y + x)
+        if film_params is not None:
+            gammas = film_params[:, None, :self.embed_dim]   # (B, 1, d)
+            betas = film_params[:, None, self.embed_dim:]    # (B, 1, d)
+            y = gammas * y + betas
+        return y
+
+
+class FFTBlock(nn.Module):
+    """Attention + conv feed-forward with FiLM + masking (model.py:238-259)."""
+    embed_dim: int
+    num_heads: int
+    attn_dropout: float
+    conv_channels: int
+    conv_kernel: int
+    conv_dropout: float
+
+    @nn.compact
+    def __call__(self, x, film_params, valid_mask, deterministic=True):
+        y = MultiHeadSelfAttention(
+            self.embed_dim, self.num_heads, self.attn_dropout,
+            name='attention')(x, valid_mask, deterministic)
+        y = jnp.where(valid_mask[..., None], y, 0.0)
+        y = PositionWiseConvFF(
+            self.embed_dim, self.conv_channels, self.conv_kernel,
+            self.conv_dropout, name='feed_forward')(y, film_params, deterministic)
+        y = jnp.where(valid_mask[..., None], y, 0.0)
+        return y
