@@ -39,7 +39,7 @@ from daft_exprt_tpu.ops.grl import gradient_reversal
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
 
-def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None):
+def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None, strict=True):
     return dict(
         embed_dim=embed_dim if embed_dim is not None else cfg['hidden_embed_dim'],
         num_heads=cfg['attn_nb_heads'],
@@ -47,6 +47,7 @@ def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None):
         conv_channels=cfg['conv_channels'],
         conv_kernel=cfg['conv_kernel'],
         conv_dropout=cfg['conv_dropout'],
+        strict_masking=strict,
     )
 
 
@@ -55,6 +56,7 @@ class PhonemeEncoder(nn.Module):
     n_symbols: int
     cfg: Dict[str, Any]
     max_len: int = 5000
+    strict_masking: bool = True
 
     @nn.compact
     def __call__(self, symbols, film_params, input_lengths, deterministic=True):
@@ -65,8 +67,8 @@ class PhonemeEncoder(nn.Module):
         x = jnp.where(mask[..., None], x + pos[None], 0.0)
         for idx in range(self.cfg['nb_blocks']):
             fp = film_params[:, idx, :] if film_params is not None else None
-            x = FFTBlock(**_fft_block_kwargs(self.cfg), name=f'block_{idx}')(
-                x, fp, mask, deterministic)
+            x = FFTBlock(**_fft_block_kwargs(self.cfg, strict=self.strict_masking),
+                         name=f'block_{idx}')(x, fp, mask, deterministic)
         return x
 
 
@@ -75,6 +77,7 @@ class AccentEncoder(nn.Module):
     n_mel_channels: int
     cfg: Dict[str, Any]
     max_len: int = 5000
+    strict_masking: bool = True
 
     @nn.compact
     def __call__(self, frames_energy, frames_pitch, mel_specs, output_lengths,
@@ -91,18 +94,21 @@ class AccentEncoder(nn.Module):
         pitch = ConvNorm1D(d, k, name='pitch_embedding')(
             frames_pitch[..., None])
 
+        mask = sequence_mask(output_lengths, T)
         x = jnp.swapaxes(mel_specs, 1, 2)                       # (B, T, n_mels)
         for i, feat in enumerate([cc, cc, d]):
+            if self.strict_masking and i > 0:
+                # padding-invariance: zero bias leakage between conv groups
+                x = jnp.where(mask[..., None], x, 0.0)
             x = ConvNorm1D(feat, k, name=f'conv_{i}')(x)
             x = nn.relu(x)
             x = nn.LayerNorm(epsilon=1e-5, name=f'ln_{i}')(x)
             x = nn.Dropout(drop, name=f'drop_{i}')(x, deterministic=deterministic)
 
-        mask = sequence_mask(output_lengths, T)
         x = jnp.where(mask[..., None], x + energy + pitch + pos[None], 0.0)
         for idx in range(self.cfg['nb_blocks']):
-            x = FFTBlock(**_fft_block_kwargs(self.cfg), name=f'block_{idx}')(
-                x, None, mask, deterministic)
+            x = FFTBlock(**_fft_block_kwargs(self.cfg, strict=self.strict_masking),
+                         name=f'block_{idx}')(x, None, mask, deterministic)
         # length-normalized mean pool over valid frames
         return jnp.sum(x, axis=1) / output_lengths[:, None].astype(x.dtype)
 
@@ -231,6 +237,7 @@ class FrameDecoder(nn.Module):
     cfg: Dict[str, Any]
     embed_dim: int
     max_len: int = 5000
+    strict_masking: bool = True
 
     @nn.compact
     def __call__(self, x, film_params, output_lengths, deterministic=True):
@@ -239,7 +246,8 @@ class FrameDecoder(nn.Module):
         mask = sequence_mask(output_lengths, T)
         x = jnp.where(mask[..., None], x + pos[None], 0.0)
         for idx in range(self.cfg['nb_blocks']):
-            x = FFTBlock(**_fft_block_kwargs(self.cfg, self.embed_dim),
+            x = FFTBlock(**_fft_block_kwargs(self.cfg, self.embed_dim,
+                                             strict=self.strict_masking),
                          name=f'block_{idx}')(
                 x, film_params[:, idx, :] if film_params is not None else None,
                 mask, deterministic)
@@ -262,6 +270,9 @@ class DaftExprt(nn.Module):
     lambda_reversal: float = 1.0
     post_mult_weight: float = 1e-3
     frame_decoder_input_dim: Optional[int] = None
+    # padding-invariant masking (True) vs reference bit-behavior on ragged
+    # batches (False); see modules.PositionWiseConvFF docstring
+    strict_masking: bool = True
 
     @classmethod
     def from_hparams(cls, hp):
@@ -289,7 +300,8 @@ class DaftExprt(nn.Module):
         d = self.hidden_dim
         dec_dim = self.frame_decoder_input_dim or d
         self.accent_encoder = AccentEncoder(self.n_mel_channels,
-                                            self.accent_encoder_cfg)
+                                            self.accent_encoder_cfg,
+                                            strict_masking=self.strict_masking)
         self.speaker_classifier = SpeakerClassifier(
             self.n_speakers, d, self.lambda_reversal)
         self.style_adapter = StyleAdapter(
@@ -300,11 +312,13 @@ class DaftExprt(nn.Module):
             },
             post_mult_weight=self.post_mult_weight)
         self.phoneme_encoder = PhonemeEncoder(self.n_symbols,
-                                              self.phoneme_encoder_cfg)
+                                              self.phoneme_encoder_cfg,
+                                              strict_masking=self.strict_masking)
         self.gaussian_upsampling = GaussianUpsampling(
             d, self.gum_conv_kernel, self.gum_use_concatenation)
         self.frame_decoder = FrameDecoder(
-            self.n_mel_channels, self.frame_decoder_cfg, dec_dim)
+            self.n_mel_channels, self.frame_decoder_cfg, dec_dim,
+            strict_masking=self.strict_masking)
         self.spk_projection = LinearNorm(d)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,225 @@
+"""HiFi-GAN generator — TPU-native inference + trainable forward.
+
+Same architecture family as the reference vocoder
+(reference: src/daft_exprt/vocoder/hifigan.py:27-184): conv_pre →
+[transposed-conv upsample → multi-receptive-field resblock fusion] × 4 →
+conv_post → tanh, V1 config (upsample 8·8·2·2, kernels 16·16·4·4, resblock
+kernels 3/7/11 with dilations 1/3/5).
+
+TPU-first choices: a functional params-pytree implementation (works for both
+frozen inference and GAN fine-tuning under jax.grad), transposed convs
+expressed as input-dilated convolutions (XLA lowers these onto the MXU), and
+weight_norm folded into plain kernels at conversion time — the reference
+removes weight norm before inference anyway (hifigan.py:203).
+
+Kernels are stored in torch layout (out, in, k) so reference checkpoints
+convert by folding only.
+"""
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+DEFAULT_CONFIG = {
+    'sampling_rate': 22050,
+    'upsample_rates': [8, 8, 2, 2],
+    'upsample_kernel_sizes': [16, 16, 4, 4],
+    'upsample_initial_channel': 512,
+    'resblock': '1',
+    'resblock_kernel_sizes': [3, 7, 11],
+    'resblock_dilation_sizes': [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    'model_in_dim': 80,
+}
+
+_DN = ('NCH', 'OIH', 'NCH')
+
+
+def _conv1d(x, w, b, dilation=1, padding=None):
+    """x: (B, C, T); w: (out, in, k) torch layout."""
+    k = w.shape[-1]
+    if padding is None:
+        padding = dilation * (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,), dimension_numbers=_DN)
+    return y + b[None, :, None]
+
+
+def _conv_transpose1d(x, w, b, stride, padding):
+    """torch ConvTranspose1d semantics; w: (in, out, k) torch layout.
+
+    Implemented as an input-dilated convolution with the flipped, transposed
+    kernel: y = conv(dilate(x, s), flip(w^T), pad k-1-p).
+    """
+    k = w.shape[-1]
+    w_t = jnp.flip(jnp.swapaxes(w, 0, 1), axis=-1)      # (out, in, k)
+    pad = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x, w_t, window_strides=(1,), padding=[(pad, pad)],
+        lhs_dilation=(stride,), dimension_numbers=_DN)
+    return y + b[None, :, None]
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def _resblock1(params, x, dilations):
+    for i, d in enumerate(dilations):
+        xt = _lrelu(x)
+        xt = _conv1d(xt, params[f'convs1_{i}']['w'], params[f'convs1_{i}']['b'],
+                     dilation=d)
+        xt = _lrelu(xt)
+        xt = _conv1d(xt, params[f'convs2_{i}']['w'], params[f'convs2_{i}']['b'])
+        x = xt + x
+    return x
+
+
+def _resblock2(params, x, dilations):
+    for i, d in enumerate(dilations):
+        xt = _lrelu(x)
+        xt = _conv1d(xt, params[f'convs_{i}']['w'], params[f'convs_{i}']['b'],
+                     dilation=d)
+        x = xt + x
+    return x
+
+
+def generator_forward(params: Dict[str, Any], mel, config=None):
+    """mel: (B, n_mels, T) → wav (B, 1, T * prod(upsample_rates))."""
+    cfg = config or DEFAULT_CONFIG
+    num_kernels = len(cfg['resblock_kernel_sizes'])
+    resblock = _resblock1 if cfg['resblock'] == '1' else _resblock2
+
+    x = _conv1d(mel, params['conv_pre']['w'], params['conv_pre']['b'])
+    for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
+                                   cfg['upsample_kernel_sizes'])):
+        x = _lrelu(x)
+        x = _conv_transpose1d(x, params[f'ups_{i}']['w'],
+                              params[f'ups_{i}']['b'], stride=u,
+                              padding=(k - u) // 2)
+        xs = None
+        for j, dil in enumerate(cfg['resblock_dilation_sizes']):
+            rb = params[f'resblock_{i}_{j}']
+            y = resblock(rb, x, dil)
+            xs = y if xs is None else xs + y
+        x = xs / num_kernels
+    x = _lrelu(x)
+    x = _conv1d(x, params['conv_post']['w'], params['conv_post']['b'])
+    return jnp.tanh(x)
+
+
+def init_generator_params(rng, config=None, std=0.01):
+    """Fresh generator params (normal(0, 0.01) like the reference init)."""
+    cfg = config or DEFAULT_CONFIG
+    params: Dict[str, Any] = {}
+    counter = iter(range(1 << 16))
+
+    def norm(shape):
+        key = jax.random.fold_in(rng, next(counter))
+        return std * jax.random.normal(key, shape, dtype=jnp.float32)
+
+    c0 = cfg['upsample_initial_channel']
+    params['conv_pre'] = {'w': norm((c0, cfg['model_in_dim'], 7)),
+                          'b': jnp.zeros((c0,))}
+    ch = c0
+    for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
+                                   cfg['upsample_kernel_sizes'])):
+        out = c0 // (2 ** (i + 1))
+        params[f'ups_{i}'] = {'w': norm((ch, out, k)), 'b': jnp.zeros((out,))}
+        ch = out
+        for j, (rk, dils) in enumerate(zip(cfg['resblock_kernel_sizes'],
+                                           cfg['resblock_dilation_sizes'])):
+            rb = {}
+            for l in range(len(dils)):
+                rb[f'convs1_{l}'] = {'w': norm((out, out, rk)),
+                                     'b': jnp.zeros((out,))}
+                rb[f'convs2_{l}'] = {'w': norm((out, out, rk)),
+                                     'b': jnp.zeros((out,))}
+            params[f'resblock_{i}_{j}'] = rb
+    params['conv_post'] = {'w': norm((1, ch, 7)), 'b': jnp.zeros((1,))}
+    return params
+
+
+# ----------------------------------------------------------------------
+# torch checkpoint conversion
+# ----------------------------------------------------------------------
+
+def _fold_wn(sd, prefix):
+    """Fold weight_norm(dim=0) params into a plain kernel; pass through
+    plain .weight if weight norm was already removed."""
+    if f'{prefix}.weight_v' in sd:
+        v = np.asarray(sd[f'{prefix}.weight_v'], dtype=np.float32)
+        g = np.asarray(sd[f'{prefix}.weight_g'], dtype=np.float32)
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)
+    else:
+        w = np.asarray(sd[f'{prefix}.weight'], dtype=np.float32)
+    return {'w': jnp.asarray(w),
+            'b': jnp.asarray(np.asarray(sd[f'{prefix}.bias'], dtype=np.float32))}
+
+
+def convert_torch_generator(state_dict, config=None):
+    """Reference HiFiGANGenerator state_dict → our params pytree."""
+    cfg = config or DEFAULT_CONFIG
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {'conv_pre': _fold_wn(sd, 'conv_pre'),
+                              'conv_post': _fold_wn(sd, 'conv_post')}
+    num_kernels = len(cfg['resblock_kernel_sizes'])
+    for i in range(len(cfg['upsample_rates'])):
+        params[f'ups_{i}'] = _fold_wn(sd, f'ups.{i}')
+        for j, dils in enumerate(cfg['resblock_dilation_sizes']):
+            flat_idx = i * num_kernels + j
+            rb = {}
+            for l in range(len(dils)):
+                if cfg['resblock'] == '1':
+                    rb[f'convs1_{l}'] = _fold_wn(sd, f'resblocks.{flat_idx}.convs1.{l}')
+                    rb[f'convs2_{l}'] = _fold_wn(sd, f'resblocks.{flat_idx}.convs2.{l}')
+                else:
+                    rb[f'convs_{l}'] = _fold_wn(sd, f'resblocks.{flat_idx}.convs.{l}')
+            params[f'resblock_{i}_{j}'] = rb
+    return params
+
+
+class HiFiGanVocoder:
+    """Frozen inference wrapper mirroring the reference API
+    (reference: src/daft_exprt/vocoder/hifigan.py:187-226)."""
+
+    def __init__(self, params=None, config=None, checkpoint_path=None):
+        self.config = config or DEFAULT_CONFIG
+        if params is None:
+            if checkpoint_path is None:
+                raise ValueError('provide params or checkpoint_path')
+            params = load_torch_generator(checkpoint_path, self.config)
+        self.params = params
+        self._infer = jax.jit(
+            lambda p, m: generator_forward(p, m, self.config))
+
+    def infer(self, mel_spec):
+        """mel (n_mels, T) or (B, n_mels, T) → float32 wav in [-1, 1]."""
+        mel = jnp.asarray(mel_spec, dtype=jnp.float32)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        audio = self._infer(self.params, mel)
+        audio = np.asarray(audio)[:, 0, :]
+        if squeeze:
+            audio = audio[0]
+        return np.clip(audio, -1.0, 1.0)
+
+
+def load_torch_generator(path, config=None):
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    sd = ckpt.get('generator', ckpt.get('state_dict', ckpt)) \
+        if isinstance(ckpt, dict) else ckpt
+    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    return convert_torch_generator(sd, config)
+
+
+def load_hifigan_vocoder(checkpoint_path=None, params=None, config=None):
+    return HiFiGanVocoder(params=params, config=config,
+                          checkpoint_path=checkpoint_path)

@@ -101,16 +101,28 @@ class MultiHeadSelfAttention(nn.Module):
 
 
 class PositionWiseConvFF(nn.Module):
-    """Two convs + ReLU + dropout + residual + LN + FiLM (model.py:196-235)."""
+    """Two convs + ReLU + dropout + residual + LN + FiLM (model.py:196-235).
+
+    With ``strict_masking`` (the default) the intermediate activation is
+    re-masked between the two convs, making the block invariant to how much
+    padding the batch carries — required for bucketed static shapes on TPU.
+    The reference leaks conv1's bias through padded positions into the last
+    valid frames (its Sequential has no interior mask), so its outputs
+    depend on the batch's max length; ``strict_masking=False`` reproduces
+    that bit-exactly for ragged-batch parity tests.
+    """
     embed_dim: int
     conv_channels: int
     kernel_size: int
     dropout: float
+    strict_masking: bool = True
 
     @nn.compact
-    def __call__(self, x, film_params, deterministic=True):
+    def __call__(self, x, film_params, valid_mask=None, deterministic=True):
         y = ConvNorm1D(self.conv_channels, self.kernel_size, name='conv1')(x)
         y = nn.relu(y)
+        if self.strict_masking and valid_mask is not None:
+            y = jnp.where(valid_mask[..., None], y, 0.0)
         y = ConvNorm1D(self.embed_dim, self.kernel_size, name='conv2')(y)
         y = nn.Dropout(self.dropout, name='drop')(y, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-5, name='layer_norm')(y + x)
@@ -129,6 +141,7 @@ class FFTBlock(nn.Module):
     conv_channels: int
     conv_kernel: int
     conv_dropout: float
+    strict_masking: bool = True
 
     @nn.compact
     def __call__(self, x, film_params, valid_mask, deterministic=True):
@@ -138,6 +151,7 @@ class FFTBlock(nn.Module):
         y = jnp.where(valid_mask[..., None], y, 0.0)
         y = PositionWiseConvFF(
             self.embed_dim, self.conv_channels, self.conv_kernel,
-            self.conv_dropout, name='feed_forward')(y, film_params, deterministic)
+            self.conv_dropout, strict_masking=self.strict_masking,
+            name='feed_forward')(y, film_params, valid_mask, deterministic)
         y = jnp.where(valid_mask[..., None], y, 0.0)
         return y

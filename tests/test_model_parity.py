@@ -39,13 +39,17 @@ def torch_hparams():
     )
 
 
-def jax_model():
+def jax_model(strict_masking=False):
+    # strict_masking=False reproduces the reference's ragged-batch padding
+    # bit-behavior (see modules.PositionWiseConvFF); the framework default
+    # is True (padding-invariant)
     return DaftExprt(
         n_symbols=N_SYMBOLS, n_speakers=N_SPEAKERS, n_mel_channels=N_MELS,
         phoneme_encoder_cfg=small_cfg(), accent_encoder_cfg=small_cfg(),
         frame_decoder_cfg=small_cfg(), gum_conv_kernel=3,
         gum_use_concatenation=False, external_emb_dim=EMB_DIM,
-        lambda_reversal=1.0, post_mult_weight=1e-3)
+        lambda_reversal=1.0, post_mult_weight=1e-3,
+        strict_masking=strict_masking)
 
 
 def make_batch(rng, B=2, L=11, T=40):

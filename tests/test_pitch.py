@@ -1,0 +1,90 @@
+"""Pitch tracker validation.
+
+The on-device JAX tracker is checked for F0 accuracy on synthetic
+glottal-pulse signals, and (when the bundled reference binary runs) for
+agreement with the reference REAPER protocol
+(reference: src/daft_exprt/extract_features.py:237-284; the binary emits a
+per-sample int16 F0 track in Hz, -1 for unvoiced — verified empirically).
+"""
+import os
+
+import numpy as np
+import pytest
+from scipy.signal import lfilter
+
+from daft_exprt_tpu.frontend.pitch import extract_pitch, per_sample_f0_device
+from daft_exprt_tpu.hparams import HyperParams
+
+SR = 22050
+REF_BINARY = '/root/reference/src/daft_exprt/bin/reaper/linux/reaper'
+
+
+def make_hp():
+    return HyperParams(verbose=False, training_files='x', validation_files='x',
+                       output_directory='/tmp/dft_tests', language='english',
+                       speakers=['spk'])
+
+
+def glottal_signal(f0hz, dur=1.0, sr=SR):
+    """Impulse train through vocal-tract-ish resonators (voice-like)."""
+    n = int(sr * dur)
+    sig = np.zeros(n)
+    idx = np.arange(0, n, sr / f0hz).astype(int)
+    sig[idx[idx < n]] = 1.0
+    sig = lfilter([1.0], [1, -1.8 * np.cos(2 * np.pi * 500 / sr), 0.81], sig)
+    sig = lfilter([1.0], [1, -1.9 * np.cos(2 * np.pi * 1500 / sr), 0.92], sig)
+    return (sig / (np.abs(sig).max() * 1.2)).astype(np.float32)
+
+
+@pytest.mark.parametrize('f0', [120, 220, 330])
+def test_device_tracker_accuracy(f0):
+    hp = make_hp()
+    wav = glottal_signal(f0)
+    track = per_sample_f0_device(wav, SR, hp)
+    assert len(track) == len(wav)
+    voiced = track[track > 0]
+    assert len(voiced) > 0.7 * len(track), 'voiced region too small'
+    med = np.median(voiced.astype(np.float64))
+    assert abs(med - f0) / f0 < 0.03, f'median {med} vs {f0}'
+
+
+def test_device_tracker_silence_unvoiced():
+    hp = make_hp()
+    wav = (np.random.RandomState(0).randn(SR) * 1e-4).astype(np.float32)
+    track = per_sample_f0_device(wav, SR, hp)
+    assert (track <= 0).mean() > 0.9
+
+
+def test_extract_pitch_log_protocol():
+    hp = make_hp()
+    wav = glottal_signal(150)
+    frames = extract_pitch(wav, SR, hp, method='device')
+    # per-sample track decimated by hop → ~len(wav)/hop frames
+    expected = len(wav) // hp.hop_length + (1 if len(wav) % hp.hop_length == 0
+                                            else 1)
+    assert abs(len(frames) - expected) <= 1
+    voiced = frames[frames > 0]
+    assert np.allclose(np.exp(np.median(voiced)), 150, rtol=0.05)
+    assert (frames >= 0).all()
+
+
+@pytest.mark.skipif(not os.access(REF_BINARY, os.X_OK),
+                    reason='reference binary unavailable')
+@pytest.mark.parametrize('f0', [120, 220])
+def test_against_reference_binary(f0):
+    """Tolerance-based agreement with the reference tracker on voice-like
+    signals: voicing decisions mostly agree, voiced F0 within 5%."""
+    hp = make_hp()
+    wav = glottal_signal(f0)
+    ours = per_sample_f0_device(wav, SR, hp).astype(np.float64)
+
+    from daft_exprt_tpu.frontend.pitch import per_sample_f0_native
+    ref = per_sample_f0_native(wav, SR, hp, binary=REF_BINARY).astype(np.float64)
+
+    n = min(len(ours), len(ref))
+    ours, ref = ours[:n], ref[:n]
+    both_voiced = (ours > 0) & (ref > 0)
+    agreement = ((ours > 0) == (ref > 0)).mean()
+    assert agreement > 0.85, f'voicing agreement {agreement}'
+    rel = np.abs(ours[both_voiced] - ref[both_voiced]) / ref[both_voiced]
+    assert np.median(rel) < 0.05
