@@ -1,0 +1,103 @@
+"""Synthesis throughput benchmark — prints ONE JSON line.
+
+Metric: synthesized audio-seconds per wall-second (RTF) for the full
+pipeline (acoustic model inference + HiFi-GAN vocoding) on the available
+accelerator, batch-32, ~11.9 s utterances. The reference publishes no
+numbers (BASELINE.md); vs_baseline is the ratio to real-time (RTF 1.0),
+the reference's own runtime-measured metric
+(reference: src/daft_exprt/generate.py:384-397).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from __graft_entry__ import _full_size_model, _make_batch
+    from daft_exprt_tpu.models.hifigan import (
+        generator_forward, init_generator_params)
+
+    hp, model = _full_size_model()
+    B, L, T = 32, 128, 1024
+    batch = _make_batch(hp, B, L, T)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           **{k: v[:1] for k, v in batch.items()})
+    params = variables['params']
+
+    infer_keys = ('symbols', 'duration_preds', 'durations_int',
+                  'energy_preds', 'pitch_preds', 'input_lengths',
+                  'output_lengths')
+
+    def acoustic(params, b):
+        return model.apply(
+            {'params': params}, method=model.inference,
+            symbols=b['symbols'], duration_preds=b['durations_float'],
+            durations_int=b['durations_int'],
+            energy_preds=b['symbols_energy'],
+            pitch_preds=b['symbols_pitch'],
+            input_lengths=b['input_lengths'],
+            output_lengths=b['output_lengths'], n_frames=T,
+            spk_embs=b['spk_embs'],
+            accent_emb=b['spk_embs'][:, :model.hidden_dim],
+            deterministic=True)['mel_preds']
+
+    voc_params = init_generator_params(jax.random.PRNGKey(2))
+
+    # vocoder activations are ~0.7 GB/utterance at T=1024; chunk the batch
+    # inside the program so XLA schedules chunks sequentially and peak HBM
+    # stays under the 16 GB/chip budget
+    VOC_CHUNK = 8
+
+    @jax.jit
+    def pipeline(params, voc_params, b):
+        import jax.numpy as jnp
+        mel = acoustic(params, b)
+        acc = jnp.float32(0.0)
+        for i in range(0, B, VOC_CHUNK):
+            wav = generator_forward(voc_params, mel[i:i + VOC_CHUNK])
+            acc = acc + jnp.sum(jnp.abs(wav))
+        # scalar output: fetching it is the only reliable synchronization on
+        # the axon platform (block_until_ready returns before execution)
+        return acc
+
+    def perturb(b, i):
+        # distinct inputs per run so remote-execution caching cannot elide
+        # the computation
+        out = dict(b)
+        out['spk_embs'] = b['spk_embs'] + np.float32(i * 1e-3)
+        return out
+
+    # warmup / compile (fetch forces completion)
+    float(pipeline(params, voc_params, batch))
+
+    runs = 5
+    per_run = []
+    start = time.perf_counter()
+    for i in range(runs):
+        t0 = time.perf_counter()
+        float(pipeline(params, voc_params, perturb(batch, i + 1)))
+        per_run.append(time.perf_counter() - t0)
+    elapsed = time.perf_counter() - start
+
+    nb_wav_samples = (T - 1) * hp.hop_length + hp.filter_length
+    audio_seconds = runs * B * nb_wav_samples / hp.sampling_rate
+    value = audio_seconds / elapsed
+
+    print(json.dumps({
+        'metric': 'synthesized_audio_seconds_per_second',
+        'value': round(value, 2),
+        'unit': 'audio-s/s',
+        'vs_baseline': round(value, 2),
+    }))
+    print(f'# batch={B} frames={T} runs={runs} elapsed={elapsed:.3f}s '
+          f'per_run={[round(t, 4) for t in per_run]} '
+          f'audio={audio_seconds:.1f}s device={jax.devices()[0]}',
+          file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

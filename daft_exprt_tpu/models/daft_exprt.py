@@ -28,6 +28,7 @@ upsampling probability matrix + weighted sum compile to fused MXU matmuls.
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,34 @@ from daft_exprt_tpu.models.modules import (
 from daft_exprt_tpu.ops.grl import gradient_reversal
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+@jax.custom_vjp
+def _normalize_weights(probs):
+    """probs / (sum_L probs + 1e-20) — bit-identical to the reference
+    normalization (model.py:505), but with a hand-written backward.
+
+    The autodiff backward of this division computes 1/(S + 1e-20)^2, which
+    overflows f32 to inf at frames where no gaussian has mass (S = 0) and
+    poisons every upstream gradient with 0*inf = NaN. The factored VJP
+    below (dp = inv * (g - Σ g·y)) only ever uses 1/(S + 1e-20) ≤ 1e20,
+    which is finite in f32.
+    """
+    return probs / (jnp.sum(probs, axis=1, keepdims=True) + 1e-20)
+
+
+def _normalize_weights_fwd(probs):
+    denom = jnp.sum(probs, axis=1, keepdims=True) + 1e-20
+    y = probs / denom
+    return y, (y, 1.0 / denom)
+
+
+def _normalize_weights_bwd(res, g):
+    y, inv = res
+    return (inv * (g - jnp.sum(g * y, axis=1, keepdims=True)),)
+
+
+_normalize_weights.defvjp(_normalize_weights_fwd, _normalize_weights_bwd)
 
 
 def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None, strict=True):
@@ -224,7 +253,7 @@ class GaussianUpsampling(nn.Module):
         log_prob = -0.5 * z * z - jnp.log(stds)[..., None] - 0.5 * _LOG_2PI
         probs = jnp.exp(log_prob)                                  # (B, L, T)
         probs = jnp.where(mask[..., None], probs, 0.0)
-        weights = probs / (jnp.sum(probs, axis=1, keepdims=True) + 1e-20)
+        weights = _normalize_weights(probs)
         x_upsamp = jnp.einsum('blt,bld->btd', weights,
                               x_up_in.astype(jnp.float32),
                               preferred_element_type=jnp.float32)

@@ -68,6 +68,47 @@ def test_extract_pitch_log_protocol():
     assert (frames >= 0).all()
 
 
+NATIVE_BINARY = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'native', 'pitch', 'build', 'daft-reaper')
+
+
+@pytest.mark.skipif(not os.access(NATIVE_BINARY, os.X_OK),
+                    reason='native binary not built (make -C native/pitch)')
+@pytest.mark.parametrize('f0', [120, 220, 330])
+def test_native_binary_accuracy(f0):
+    """The C++ tracker (native/pitch) honors the binary protocol and tracks
+    voice-like F0 within 3%."""
+    from daft_exprt_tpu.frontend.pitch import per_sample_f0_native
+    hp = make_hp()
+    wav = glottal_signal(f0)
+    track = per_sample_f0_native(wav, SR, hp, binary=NATIVE_BINARY)
+    assert len(track) == len(wav)
+    assert track.dtype == np.int16
+    voiced = track[track > 0].astype(np.float64)
+    assert len(voiced) > 0.7 * len(track)
+    assert abs(np.median(voiced) - f0) / f0 < 0.03
+
+
+@pytest.mark.skipif(not (os.access(NATIVE_BINARY, os.X_OK)
+                         and os.access(REF_BINARY, os.X_OK)),
+                    reason='binaries unavailable')
+def test_native_binary_vs_reference():
+    """Cross-check native tracker against the reference REAPER binary."""
+    from daft_exprt_tpu.frontend.pitch import per_sample_f0_native
+    hp = make_hp()
+    wav = glottal_signal(180)
+    ours = per_sample_f0_native(wav, SR, hp,
+                                binary=NATIVE_BINARY).astype(np.float64)
+    ref = per_sample_f0_native(wav, SR, hp,
+                               binary=REF_BINARY).astype(np.float64)
+    n = min(len(ours), len(ref))
+    ours, ref = ours[:n], ref[:n]
+    both = (ours > 0) & (ref > 0)
+    assert ((ours > 0) == (ref > 0)).mean() > 0.9
+    rel = np.abs(ours[both] - ref[both]) / ref[both]
+    assert np.median(rel) < 0.03
+
+
 @pytest.mark.skipif(not os.access(REF_BINARY, os.X_OK),
                     reason='reference binary unavailable')
 @pytest.mark.parametrize('f0', [120, 220])
