@@ -63,7 +63,9 @@ def _viterbi(ncc, trans_cost, uv_cost, n_lags):
     log-pitch-ratio costs. Returns best state sequence (F,).
     """
     F = ncc.shape[0]
-    # local cost: voiced state s: 1 - ncc[s]; unvoiced: uv_cost
+    # local cost: voiced state s: 1 - ncc[s] + octave penalty; uv: uv_cost.
+    # The small log-lag penalty breaks subharmonic ties toward the shorter
+    # period (RAPT's doubling cost).
     local = jnp.concatenate(
         [1.0 - ncc, jnp.full((F, 1), uv_cost)], axis=1)       # (F, S)
 
@@ -116,6 +118,10 @@ class PitchTracker:
         self.trans_cost = jnp.asarray(
             np.abs(np.log(lags[:, None] / lags[None, :])), dtype=jnp.float32)
         self.n_lags = self.max_lag - self.min_lag + 1
+        # RAPT-style doubling cost: bias candidate scores toward shorter
+        # periods so exact subharmonics (octave errors) lose ties
+        self.octave_cost = jnp.asarray(
+            0.02 * np.log2(lags / self.min_lag), dtype=jnp.float32)
 
     def frame_f0(self, wav):
         """wav: (N,) float32 → (n_frames,) F0 Hz (0 = unvoiced), one value
@@ -129,6 +135,7 @@ class PitchTracker:
             x = jnp.pad(x, (0, total - x.shape[0]))
         ncc = _nccf(x, self.frame_step, self.win, self.min_lag, self.max_lag,
                     n_frames)
+        ncc = ncc - self.octave_cost[None, :]
         states = _viterbi(ncc, self.trans_cost,
                           jnp.float32(self.uv_cost), self.n_lags)
         lags = jnp.arange(self.min_lag, self.max_lag + 1)

@@ -206,9 +206,16 @@ int main(int argc, char** argv) {
 
   std::vector<double> cost(S), next_cost(S);
   std::vector<int32_t> backptr(static_cast<size_t>(n_frames) * S);
+  // RAPT-style doubling cost: bias toward shorter periods so exact
+  // subharmonics (octave errors) lose ties (mirrors ops/pitch.py)
+  std::vector<double> octave_cost(n_lags);
+  for (int li = 0; li < n_lags; ++li)
+    octave_cost[li] =
+        0.02 * std::log2(static_cast<double>(min_lag + li) / min_lag);
   auto local = [&](int fidx, int s) -> double {
     if (s == UV) return opt.uv_cost;
-    return 1.0 - ncc[static_cast<size_t>(fidx) * n_lags + s];
+    return 1.0 - ncc[static_cast<size_t>(fidx) * n_lags + s] +
+           octave_cost[s];
   };
   for (int s = 0; s < S; ++s) cost[s] = local(0, s);
 
