@@ -134,10 +134,14 @@ def init_generator_params(rng, config=None, std=0.01):
                                            cfg['resblock_dilation_sizes'])):
             rb = {}
             for l in range(len(dils)):
-                rb[f'convs1_{l}'] = {'w': norm((out, out, rk)),
-                                     'b': jnp.zeros((out,))}
-                rb[f'convs2_{l}'] = {'w': norm((out, out, rk)),
-                                     'b': jnp.zeros((out,))}
+                if cfg['resblock'] == '1':
+                    rb[f'convs1_{l}'] = {'w': norm((out, out, rk)),
+                                         'b': jnp.zeros((out,))}
+                    rb[f'convs2_{l}'] = {'w': norm((out, out, rk)),
+                                         'b': jnp.zeros((out,))}
+                else:
+                    rb[f'convs_{l}'] = {'w': norm((out, out, rk)),
+                                        'b': jnp.zeros((out,))}
             params[f'resblock_{i}_{j}'] = rb
     params['conv_post'] = {'w': norm((1, ch, 7)), 'b': jnp.zeros((1,))}
     return params
