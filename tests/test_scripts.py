@@ -1,0 +1,160 @@
+"""Script-layer tests: prosody-file grammar, evaluation metrics,
+augmentations, adaptation masking, CLI plumbing."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from daft_exprt_tpu.hparams import HyperParams  # noqa: E402
+
+
+def make_hp(**kw):
+    kwargs = dict(training_files='x', validation_files='x',
+                  output_directory='/tmp/dft_tests', language='english',
+                  speakers=['spk'])
+    kwargs.update(kw)
+    return HyperParams(verbose=False, **kwargs)
+
+
+def test_parse_symbol_prosody_tuple_form(tmp_path):
+    from scripts.synthesize import parse_symbol_prosody_file
+    hp = make_hp()
+    f = tmp_path / 'prosody.txt'
+    f.write_text(
+        "audio/sample1.wav|[('HH', 3, 5.1, 12.0), ('AH0', 5, 5.0, 13.2), "
+        "('~', 0, 0.0, 0.0)]\n"
+        "# a comment line\n"
+        "[('W', 4, 4.9, 11.0), ('ER1', 6, 5.2, 14.0)]\n")
+    sentences, names, prosody = parse_symbol_prosody_file(str(f), hp)
+    assert len(sentences) == 2
+    assert names[0] == 'sample1'
+    assert names[1] == 'symbol_prosody_line1'
+    assert prosody[0]['durations_frames'] == [3, 5, 0]
+    assert prosody[1]['pitch'] == [4.9, 5.2]
+
+
+def test_parse_symbol_prosody_array_form(tmp_path):
+    from scripts.synthesize import parse_symbol_prosody_file
+    hp = make_hp()
+    f = tmp_path / 'prosody.txt'
+    f.write_text("[['HH', 'AH0'], [3, 5], [5.1, 5.0], [12.0, 13.2]]\n")
+    sentences, _, prosody = parse_symbol_prosody_file(str(f), hp)
+    assert sentences[0] == ['HH', 'AH0']
+    assert prosody[0]['energy'] == [12.0, 13.2]
+
+
+def test_parse_symbol_prosody_rejects_unknown_symbol(tmp_path):
+    from scripts.synthesize import parse_symbol_prosody_file
+    hp = make_hp()
+    f = tmp_path / 'prosody.txt'
+    f.write_text("[('XX', 3, 5.1, 12.0)]\n")
+    with pytest.raises(ValueError, match='XX'):
+        parse_symbol_prosody_file(str(f), hp)
+
+
+def test_word_error_rate():
+    from scripts.evaluation.compute_wer_and_accent_metrics import (
+        word_error_rate)
+    assert word_error_rate('the cat sat', 'the cat sat') == 0.0
+    assert word_error_rate('the cat sat', 'the cat') == pytest.approx(1 / 3)
+    assert word_error_rate('the cat sat', 'the bat sat') == pytest.approx(1 / 3)
+    assert word_error_rate('the cat', 'The, cat!') == 0.0   # normalization
+
+
+def test_npvi():
+    from scripts.evaluation.compute_wer_and_accent_metrics import npvi
+    assert npvi([1.0, 1.0, 1.0]) == 0.0
+    # alternating 1,2: |1|/1.5 = 0.666... -> 66.67
+    assert npvi([1.0, 2.0, 1.0]) == pytest.approx(66.6667, rel=1e-3)
+    assert npvi([5.0]) is None
+
+
+def test_pitch_curve_correlation():
+    from scripts.evaluation.compare_pitch_curves import (
+        pitch_curve_correlation)
+    t = np.linspace(0, 1, 50)
+    a = 100 + 10 * np.sin(2 * np.pi * t)
+    b = 120 + 12 * np.sin(2 * np.pi * np.linspace(0, 1, 70))
+    r = pitch_curve_correlation(a, b)
+    assert r > 0.99
+    a_uv = a.copy()
+    a_uv[::3] = 0.0   # unvoiced dropped, correlation survives
+    assert pitch_curve_correlation(a_uv, b) > 0.9
+
+
+def test_augmentations():
+    from scripts.generate_augmentation_examples import (
+        energy_scale_mel, pitch_shift_mel, time_stretch_mel)
+    mel = np.arange(80 * 10, dtype=np.float32).reshape(80, 10)
+    up = pitch_shift_mel(mel, 3)
+    np.testing.assert_array_equal(up[3:], mel[:-3])
+    down = pitch_shift_mel(mel, -3)
+    np.testing.assert_array_equal(down[:-3], mel[3:])
+    stretched = time_stretch_mel(mel, 1.5)
+    assert stretched.shape == (80, 15)
+    np.testing.assert_allclose(stretched[:, 0], mel[:, 0])
+    scaled = energy_scale_mel(mel, 2.0)
+    np.testing.assert_allclose(scaled, mel + np.log(2.0))
+
+
+def test_adapt_freeze_mask():
+    import jax
+    from scripts.adapt_speaker import make_freeze_mask
+    params = {'spk_projection': {'kernel': np.zeros(3)},
+              'frame_decoder': {'block_0': {'w': np.zeros(2)}},
+              'style_adapter': {'g': np.zeros(1)}}
+    mask = make_freeze_mask(params, ['spk_projection', 'style_adapter'])
+    assert mask['spk_projection']['kernel'] is True
+    assert mask['style_adapter']['g'] is True
+    assert mask['frame_decoder']['block_0']['w'] is False
+
+
+def test_llm_benchmark_validation():
+    from scripts.benchmarks.convert_prosody_with_llm import validate_output
+    orig = [('HH', 3, 5.1, 12.0), ('AH0', 5, 0.0, 13.0)]
+    ok, _ = validate_output(orig, [('HH', 4, 5.2, 12.5), ('AH0', 5, 0.0, 13.0)])
+    assert ok
+    ok, msg = validate_output(orig, [('HH', 4, 5.2, 12.5)])
+    assert not ok and 'length' in msg
+    ok, msg = validate_output(orig, [('XX', 4, 5.2, 12.5),
+                                     ('AH0', 5, 0.0, 13.0)])
+    assert not ok and 'symbol' in msg
+    ok, msg = validate_output(orig, [('HH', 4, 5.2, 12.5),
+                                     ('AH0', 5, 1.0, 13.0)])
+    assert not ok and 'unvoiced' in msg
+
+
+def test_compute_spk_stats(tmp_path):
+    from scripts.compute_spk_stats_from_prosody import compute_stats
+    hp = make_hp()
+    f = tmp_path / 'prosody.txt'
+    f.write_text("[('HH', 3, 5.0, 12.0), ('AH0', 5, 5.4, 14.0), "
+                 "('~', 0, 0.0, 0.0)]\n")
+    stats = compute_stats(str(f), hp)
+    assert stats['pitch']['mean'] == pytest.approx(5.2)
+    assert stats['energy']['mean'] == pytest.approx(13.0)
+
+
+def test_cli_help_surfaces():
+    """Every CLI parses --help (import + argparse wiring sanity)."""
+    scripts = ['training.py', 'synthesize.py', 'extract_symbol_prosody.py',
+               'compute_spk_stats_from_prosody.py', 'train_pitch_predictor.py',
+               'visualize_pitch_prediction.py', 'format_dataset.py',
+               'precompute_ECAPA_spk_embeddings.py', 'hifigan_sanity_check.py',
+               'verify_mel_spec.py', 'adapt_speaker.py', 'adapt_accent.py',
+               'generate_augmentation_examples.py',
+               'analyze_embedding_manifold.py', 'make_style_bank.py',
+               'evaluation/compare_pitch_curves.py',
+               'evaluation/compute_wer_and_accent_metrics.py',
+               'benchmarks/convert_prosody_with_llm.py']
+    for script in scripts:
+        result = subprocess.run(
+            [sys.executable, os.path.join(REPO, 'scripts', script),
+             '--help'], capture_output=True, text=True, timeout=120)
+        assert result.returncode == 0, f'{script}: {result.stderr[-400:]}'
