@@ -87,8 +87,17 @@ def _resblock2(params, x, dilations):
     return x
 
 
-def generator_forward(params: Dict[str, Any], mel, config=None):
-    """mel: (B, n_mels, T) → wav (B, 1, T * prod(upsample_rates))."""
+def generator_forward(params: Dict[str, Any], mel, config=None,
+                      use_pallas=False, pallas_tile=8192):
+    """mel: (B, n_mels, T) → wav (B, 1, T * prod(upsample_rates)).
+
+    ``use_pallas=True`` routes each ResBlock1 group through the fused
+    Pallas kernel (ops/vocoder_kernels.py) — one HBM round trip per block
+    instead of six. Interior samples are exact; samples within the block's
+    receptive field of the utterance edges differ slightly from the
+    per-conv zero-padding semantics (keep the default path for bit-parity
+    checks).
+    """
     cfg = config or DEFAULT_CONFIG
     num_kernels = len(cfg['resblock_kernel_sizes'])
     resblock = _resblock1 if cfg['resblock'] == '1' else _resblock2
@@ -100,15 +109,41 @@ def generator_forward(params: Dict[str, Any], mel, config=None):
         x = _conv_transpose1d(x, params[f'ups_{i}']['w'],
                               params[f'ups_{i}']['b'], stride=u,
                               padding=(k - u) // 2)
-        xs = None
-        for j, dil in enumerate(cfg['resblock_dilation_sizes']):
-            rb = params[f'resblock_{i}_{j}']
-            y = resblock(rb, x, dil)
-            xs = y if xs is None else xs + y
-        x = xs / num_kernels
+        if use_pallas and cfg['resblock'] == '1':
+            x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile)
+        else:
+            xs = None
+            for j, dil in enumerate(cfg['resblock_dilation_sizes']):
+                rb = params[f'resblock_{i}_{j}']
+                y = resblock(rb, x, dil)
+                xs = y if xs is None else xs + y
+            x = xs / num_kernels
     x = _lrelu(x)
     x = _conv1d(x, params['conv_post']['w'], params['conv_post']['b'])
     return jnp.tanh(x)
+
+
+def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
+    """Multi-receptive-field fusion of one upsample level's resblocks via
+    the fused Pallas kernel. x: (B, C, T) → (B, C, T)."""
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_resblock1, pack_resblock_weights)
+    B, C, T = x.shape
+    x_t = jnp.swapaxes(x, 1, 2)                       # (B, T, C)
+    eff_tile = min(tile, T) if T % min(tile, T) == 0 else T
+    pad_T = -(-T // eff_tile) * eff_tile
+    if pad_T != T:
+        x_t = jnp.pad(x_t, ((0, 0), (0, pad_T - T), (0, 0)))
+    xs = None
+    for j, (rk, dils) in enumerate(zip(cfg['resblock_kernel_sizes'],
+                                       cfg['resblock_dilation_sizes'])):
+        w1, b1, w2, b2 = pack_resblock_weights(
+            params[f'resblock_{level}_{j}'], len(dils))
+        y = fused_resblock1(x_t, w1, b1, w2, b2, rk, tuple(dils),
+                            tile=eff_tile, interpret=interpret)
+        xs = y if xs is None else xs + y
+    xs = xs[:, :T, :] / num_kernels
+    return jnp.swapaxes(xs, 1, 2)
 
 
 def init_generator_params(rng, config=None, std=0.01):

@@ -1,0 +1,176 @@
+"""Pallas TPU kernels for HiFi-GAN inference.
+
+The vocoder's runtime is dominated by the multi-receptive-field resblocks:
+6 dilated convolutions per block over very long time axes at 32-512
+channels. XLA lowers each conv separately (~7 TFLOPS on the dominant shape,
+one HBM round-trip per conv). The fused kernel below keeps a time tile in
+VMEM across the whole 3-stage chain
+
+    x = x + conv_k(lrelu(conv_{k,d}(lrelu(x))))   for d in dilations
+
+expressing every conv as k shifted (T, C) @ (C, C) matmuls on the MXU, with
+the halo DMA'd once per tile — 6x less HBM traffic and no per-op dispatch.
+"""
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def resblock1_halo(kernel_size: int, dilations: Sequence[int]) -> int:
+    """Per-side receptive-field growth of the full chain, rounded up to the
+    8-sublane granule so every DMA stays aligned."""
+    half = (kernel_size - 1) // 2
+    true_halo = sum(d * half + half for d in dilations)
+    return -(-true_halo // 64) * 64
+
+
+def _fused_resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                           x_scratch, sem, *, tile, halo, k, dilations,
+                           n_tiles):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # DMA the halo'd tile from HBM (input is pre-padded by `halo` each side;
+    # `halo` is 64-aligned so offsets/lengths stay on sublane granules)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * tile, tile + 2 * halo)],
+        x_scratch, sem)
+    copy.start()
+    copy.wait()
+
+    cur = x_scratch[:]                      # (tile + 2*halo, C)
+    cur_len = tile + 2 * halo
+    half = (k - 1) // 2
+    for i, d in enumerate(dilations):
+        h1 = d * half
+        t_in = _lrelu(cur)
+        L1 = cur_len - 2 * h1
+        acc = None
+        for tap in range(k):
+            seg = t_in[tap * d: tap * d + L1]      # static slice
+            contrib = jnp.dot(seg, w1_ref[i, tap],
+                              preferred_element_type=jnp.float32)
+            acc = contrib if acc is None else acc + contrib
+        acc = acc + b1_ref[i][None, :]
+        t2 = _lrelu(acc)
+        L2 = L1 - 2 * half
+        acc2 = None
+        for tap in range(k):
+            seg = t2[tap: tap + L2]                # static slice
+            contrib = jnp.dot(seg, w2_ref[i, tap],
+                              preferred_element_type=jnp.float32)
+            acc2 = contrib if acc2 is None else acc2 + contrib
+        acc2 = acc2 + b2_ref[i][None, :]
+        shrink = h1 + half
+        cur = cur[shrink: shrink + L2] + acc2
+        cur_len = L2
+    # halo is rounded up past the true receptive field — slice the tile out
+    # of the remaining valid center
+    extra = (cur_len - tile) // 2
+    o_ref[0, :, :] = cur[extra: extra + tile].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_size', 'dilations',
+                                             'tile', 'interpret'))
+def fused_resblock1(x, w1, b1, w2, b2, kernel_size, dilations, tile=4096,
+                    interpret=False):
+    """x: (B, T, C); w1/w2: (n_dil, k, C, C); b1/b2: (n_dil, C).
+
+    Equivalent to the HiFi-GAN ResBlock1 chain with zero 'SAME' padding at
+    the sequence edges. T must be a multiple of ``tile`` (callers pad).
+    """
+    B, T, C = x.shape
+    halo = resblock1_halo(kernel_size, dilations)
+    if T % tile != 0:
+        raise ValueError(f'T={T} not a multiple of tile={tile}')
+    n_tiles = T // tile
+    x_padded = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
+
+    kernel = functools.partial(
+        _fused_resblock_kernel, tile=tile, halo=halo, k=kernel_size,
+        dilations=dilations, n_tiles=n_tiles)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM
+            pl.BlockSpec((len(dilations), kernel_size, C, C),
+                         lambda b, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(dilations), C), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(dilations), kernel_size, C, C),
+                         lambda b, t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(dilations), C), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * halo, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_padded, w1, b1, w2, b2)
+
+
+def resblock1_reference(x, w1, b1, w2, b2, kernel_size, dilations):
+    """Pure-JAX reference (shifted matmuls, zero-padded) for testing."""
+    B, T, C = x.shape
+    half = (kernel_size - 1) // 2
+
+    def conv(t_in, w, bias, d):
+        h = d * half
+        xp = jnp.pad(t_in, ((0, 0), (h, h), (0, 0)))
+        acc = None
+        for tap in range(kernel_size):
+            seg = jax.lax.dynamic_slice_in_dim(xp, tap * d, T, axis=1)
+            c = jnp.einsum('btc,cd->btd', seg, w[tap],
+                           preferred_element_type=jnp.float32)
+            acc = c if acc is None else acc + c
+        return acc + bias[None, None, :]
+
+    cur = x
+    for i, d in enumerate(dilations):
+        t = _lrelu(cur)
+        t = conv(t, w1[i], b1[i], d)
+        t = _lrelu(t)
+        t = conv(t, w2[i], b2[i], 1)
+        cur = cur + t
+    return cur
+
+
+def pack_resblock_weights(rb_params, n_dil, torch_layout=True):
+    """{'convs1_i': {'w','b'}, 'convs2_i': ...} → stacked (n_dil,k,C,C)/(n_dil,C).
+
+    torch kernels are (out, in, k); the matmul form needs (k, in, out).
+    """
+    def stack(prefix):
+        ws, bs = [], []
+        for i in range(n_dil):
+            w = rb_params[f'{prefix}_{i}']['w']
+            if torch_layout:
+                w = jnp.transpose(w, (2, 1, 0))       # (k, in, out)
+            ws.append(w)
+            bs.append(rb_params[f'{prefix}_{i}']['b'])
+        return jnp.stack(ws), jnp.stack(bs)
+
+    w1, b1 = stack('convs1')
+    w2, b2 = stack('convs2')
+    return w1, b1, w2, b2

@@ -1,0 +1,88 @@
+"""Fused Pallas resblock kernel: interpret-mode correctness on CPU."""
+import numpy as np
+import pytest
+
+from daft_exprt_tpu.ops.vocoder_kernels import (
+    fused_resblock1, pack_resblock_weights, resblock1_halo,
+    resblock1_reference,
+)
+
+
+def make_weights(rng, n_dil, k, C):
+    import jax.numpy as jnp
+    return (jnp.asarray(rng.randn(n_dil, k, C, C).astype(np.float32) * 0.02),
+            jnp.asarray(rng.randn(n_dil, C).astype(np.float32) * 0.01),
+            jnp.asarray(rng.randn(n_dil, k, C, C).astype(np.float32) * 0.02),
+            jnp.asarray(rng.randn(n_dil, C).astype(np.float32) * 0.01))
+
+
+@pytest.mark.parametrize('k,dils', [(3, (1, 3)), (11, (1, 3, 5))])
+def test_fused_resblock_interior_exact(k, dils):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    B, T, C = 2, 1024, 128
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.1)
+    w1, b1, w2, b2 = make_weights(rng, len(dils), k, C)
+    out = np.asarray(fused_resblock1(x, w1, b1, w2, b2, k, dils, tile=512,
+                                     interpret=True))
+    ref = np.asarray(resblock1_reference(x, w1, b1, w2, b2, k, dils))
+    h = resblock1_halo(k, dils)
+    # interior samples (outside the edge receptive field) are exact
+    assert np.abs(out[:, h:-h] - ref[:, h:-h]).max() < 1e-5
+    # edges deviate only within the zero-padding semantics difference
+    assert np.abs(out - ref).max() < 0.1
+
+
+def test_pack_resblock_weights():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    rb = {}
+    for i in range(3):
+        rb[f'convs1_{i}'] = {'w': jnp.asarray(rng.randn(64, 64, 3)
+                                              .astype(np.float32)),
+                             'b': jnp.zeros(64)}
+        rb[f'convs2_{i}'] = {'w': jnp.asarray(rng.randn(64, 64, 3)
+                                              .astype(np.float32)),
+                             'b': jnp.zeros(64)}
+    w1, b1, w2, b2 = pack_resblock_weights(rb, 3)
+    assert w1.shape == (3, 3, 64, 64)
+    # torch (out, in, k) -> (k, in, out)
+    np.testing.assert_array_equal(np.asarray(w1[0][0]),
+                                  np.asarray(rb['convs1_0']['w'][:, :, 0]).T)
+
+
+def test_generator_pallas_path_matches_interpret():
+    """Full generator with the pallas MRF path (interpret mode) vs the
+    standard XLA path — interior-dominated agreement."""
+    import jax
+    from daft_exprt_tpu.models.hifigan import (
+        _pallas_mrf, generator_forward, init_generator_params)
+    cfg = {'sampling_rate': 22050, 'upsample_rates': [8, 2],
+           'upsample_kernel_sizes': [16, 4], 'upsample_initial_channel': 32,
+           'resblock': '1', 'resblock_kernel_sizes': [3],
+           'resblock_dilation_sizes': [[1, 3]], 'model_in_dim': 80}
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(2)
+    mel = rng.randn(1, 80, 64).astype(np.float32)
+    ref = np.asarray(generator_forward(params, mel, cfg))
+
+    # monkeypatch-free: call the pallas path with interpret mode by
+    # re-implementing the loop through _pallas_mrf
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        _conv1d, _conv_transpose1d, _lrelu)
+    x = _conv1d(jnp.asarray(mel), params['conv_pre']['w'],
+                params['conv_pre']['b'])
+    for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
+                                   cfg['upsample_kernel_sizes'])):
+        x = _lrelu(x)
+        x = _conv_transpose1d(x, params[f'ups_{i}']['w'],
+                              params[f'ups_{i}']['b'], stride=u,
+                              padding=(k - u) // 2)
+        x = _pallas_mrf(params, x, i, cfg, 1, tile=256, interpret=True)
+    x = _lrelu(x)
+    x = _conv1d(x, params['conv_post']['w'], params['conv_post']['b'])
+    out = np.asarray(jnp.tanh(x))
+    assert out.shape == ref.shape
+    # interior agreement (first/last 64 wav samples carry edge semantics)
+    assert np.abs(out[:, :, 64:-64] - ref[:, :, 64:-64]).max() < 1e-4
