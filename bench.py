@@ -8,6 +8,7 @@ the reference's own runtime-measured metric
 (reference: src/daft_exprt/generate.py:384-397).
 """
 import json
+import os
 import sys
 import time
 
@@ -45,21 +46,27 @@ def main():
             accent_emb=b['spk_embs'][:, :model.hidden_dim],
             deterministic=True)['mel_preds']
 
+    import jax.numpy as jnp
+
     voc_params = init_generator_params(jax.random.PRNGKey(2))
 
-    # vocoder activations are ~0.7 GB/utterance at T=1024; chunk the batch
-    # inside the program so XLA schedules chunks sequentially and peak HBM
-    # stays under the 16 GB/chip budget
-    VOC_CHUNK = 8
+    # bf16 vocoder activations halve memory (batch 32 fits unchunked);
+    # BENCH_DTYPE=float32 selects the parity-exact path, chunked so peak
+    # HBM stays under the 16 GB/chip budget (f32 activations are
+    # ~0.7 GB/utterance at T=1024)
+    voc_dtype = jnp.float32 if os.environ.get('BENCH_DTYPE') == 'float32' \
+        else jnp.bfloat16
+    VOC_CHUNK = 8 if voc_dtype == jnp.float32 else B
 
     @jax.jit
     def pipeline(params, voc_params, b):
-        import jax.numpy as jnp
         mel = acoustic(params, b)
+        vp = jax.tree_util.tree_map(lambda x: x.astype(voc_dtype),
+                                    voc_params)
         acc = jnp.float32(0.0)
         for i in range(0, B, VOC_CHUNK):
-            wav = generator_forward(voc_params, mel[i:i + VOC_CHUNK])
-            acc = acc + jnp.sum(jnp.abs(wav))
+            wav = generator_forward(vp, mel[i:i + VOC_CHUNK].astype(voc_dtype))
+            acc = acc + jnp.sum(jnp.abs(wav.astype(jnp.float32)))
         # scalar output: fetching it is the only reliable synchronization on
         # the axon platform (block_until_ready returns before execution)
         return acc

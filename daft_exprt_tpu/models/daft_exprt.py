@@ -68,7 +68,8 @@ def _normalize_weights_bwd(res, g):
 _normalize_weights.defvjp(_normalize_weights_fwd, _normalize_weights_bwd)
 
 
-def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None, strict=True):
+def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None, strict=True,
+                      dtype=jnp.float32):
     return dict(
         embed_dim=embed_dim if embed_dim is not None else cfg['hidden_embed_dim'],
         num_heads=cfg['attn_nb_heads'],
@@ -77,6 +78,7 @@ def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None, strict=True):
         conv_kernel=cfg['conv_kernel'],
         conv_dropout=cfg['conv_dropout'],
         strict_masking=strict,
+        dtype=dtype,
     )
 
 
@@ -86,6 +88,7 @@ class PhonemeEncoder(nn.Module):
     cfg: Dict[str, Any]
     max_len: int = 5000
     strict_masking: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, symbols, film_params, input_lengths, deterministic=True):
@@ -96,7 +99,8 @@ class PhonemeEncoder(nn.Module):
         x = jnp.where(mask[..., None], x + pos[None], 0.0)
         for idx in range(self.cfg['nb_blocks']):
             fp = film_params[:, idx, :] if film_params is not None else None
-            x = FFTBlock(**_fft_block_kwargs(self.cfg, strict=self.strict_masking),
+            x = FFTBlock(**_fft_block_kwargs(self.cfg, strict=self.strict_masking,
+                                             dtype=self.dtype),
                          name=f'block_{idx}')(x, fp, mask, deterministic)
         return x
 
@@ -107,6 +111,7 @@ class AccentEncoder(nn.Module):
     cfg: Dict[str, Any]
     max_len: int = 5000
     strict_masking: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, frames_energy, frames_pitch, mel_specs, output_lengths,
@@ -129,17 +134,21 @@ class AccentEncoder(nn.Module):
             if self.strict_masking and i > 0:
                 # padding-invariance: zero bias leakage between conv groups
                 x = jnp.where(mask[..., None], x, 0.0)
-            x = ConvNorm1D(feat, k, name=f'conv_{i}')(x)
+            x = ConvNorm1D(feat, k, dtype=self.dtype, name=f'conv_{i}')(x)
             x = nn.relu(x)
-            x = nn.LayerNorm(epsilon=1e-5, name=f'ln_{i}')(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                             name=f'ln_{i}')(x).astype(self.dtype)
             x = nn.Dropout(drop, name=f'drop_{i}')(x, deterministic=deterministic)
 
         x = jnp.where(mask[..., None], x + energy + pitch + pos[None], 0.0)
+        x = x.astype(self.dtype)
         for idx in range(self.cfg['nb_blocks']):
-            x = FFTBlock(**_fft_block_kwargs(self.cfg, strict=self.strict_masking),
+            x = FFTBlock(**_fft_block_kwargs(self.cfg, strict=self.strict_masking,
+                                             dtype=self.dtype),
                          name=f'block_{idx}')(x, None, mask, deterministic)
-        # length-normalized mean pool over valid frames
-        return jnp.sum(x, axis=1) / output_lengths[:, None].astype(x.dtype)
+        # length-normalized mean pool over valid frames (f32 accumulation)
+        x32 = x.astype(jnp.float32)
+        return jnp.sum(x32, axis=1) / output_lengths[:, None].astype(jnp.float32)
 
 
 class SpeakerClassifier(nn.Module):
@@ -267,20 +276,23 @@ class FrameDecoder(nn.Module):
     embed_dim: int
     max_len: int = 5000
     strict_masking: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, film_params, output_lengths, deterministic=True):
         T = x.shape[1]
         pos = sinusoidal_table(self.max_len, self.embed_dim)[:T]
         mask = sequence_mask(output_lengths, T)
-        x = jnp.where(mask[..., None], x + pos[None], 0.0)
+        x = jnp.where(mask[..., None], x + pos[None], 0.0).astype(self.dtype)
         for idx in range(self.cfg['nb_blocks']):
             x = FFTBlock(**_fft_block_kwargs(self.cfg, self.embed_dim,
-                                             strict=self.strict_masking),
+                                             strict=self.strict_masking,
+                                             dtype=self.dtype),
                          name=f'block_{idx}')(
                 x, film_params[:, idx, :] if film_params is not None else None,
                 mask, deterministic)
-        mel = LinearNorm(self.n_mel_channels, name='projection')(x)
+        mel = LinearNorm(self.n_mel_channels, name='projection')(
+            x.astype(jnp.float32))
         mel = jnp.where(mask[..., None], mel, 0.0)
         return jnp.swapaxes(mel, 1, 2)                  # (B, n_mels, T)
 
@@ -302,11 +314,16 @@ class DaftExprt(nn.Module):
     # padding-invariant masking (True) vs reference bit-behavior on ragged
     # batches (False); see modules.PositionWiseConvFF docstring
     strict_masking: bool = True
+    # activation dtype for the FFT-block stacks ('bfloat16' roughly doubles
+    # MXU throughput; norms/softmax/gaussian/projections stay f32). Params
+    # are always f32.
+    compute_dtype: str = 'float32'
 
     @classmethod
     def from_hparams(cls, hp):
         gum = dict(hp.gaussian_upsampling_module)
         return cls(
+            compute_dtype=getattr(hp, 'compute_dtype', 'float32'),
             n_symbols=hp.n_symbols,
             n_speakers=hp.n_speakers,
             n_mel_channels=hp.n_mel_channels,
@@ -328,9 +345,12 @@ class DaftExprt(nn.Module):
     def setup(self):
         d = self.hidden_dim
         dec_dim = self.frame_decoder_input_dim or d
+        dtype = jnp.bfloat16 if self.compute_dtype == 'bfloat16' \
+            else jnp.float32
         self.accent_encoder = AccentEncoder(self.n_mel_channels,
                                             self.accent_encoder_cfg,
-                                            strict_masking=self.strict_masking)
+                                            strict_masking=self.strict_masking,
+                                            dtype=dtype)
         self.speaker_classifier = SpeakerClassifier(
             self.n_speakers, d, self.lambda_reversal)
         self.style_adapter = StyleAdapter(
@@ -342,12 +362,13 @@ class DaftExprt(nn.Module):
             post_mult_weight=self.post_mult_weight)
         self.phoneme_encoder = PhonemeEncoder(self.n_symbols,
                                               self.phoneme_encoder_cfg,
-                                              strict_masking=self.strict_masking)
+                                              strict_masking=self.strict_masking,
+                                              dtype=dtype)
         self.gaussian_upsampling = GaussianUpsampling(
             d, self.gum_conv_kernel, self.gum_use_concatenation)
         self.frame_decoder = FrameDecoder(
             self.n_mel_channels, self.frame_decoder_cfg, dec_dim,
-            strict_masking=self.strict_masking)
+            strict_masking=self.strict_masking, dtype=dtype)
         self.spk_projection = LinearNorm(d)
 
     # ------------------------------------------------------------------

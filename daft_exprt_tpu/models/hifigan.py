@@ -109,7 +109,9 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         x = _conv_transpose1d(x, params[f'ups_{i}']['w'],
                               params[f'ups_{i}']['b'], stride=u,
                               padding=(k - u) // 2)
-        if use_pallas and cfg['resblock'] == '1':
+        # the fused kernel's HBM-slice DMA needs lane-aligned channels;
+        # narrow tail levels (64/32 ch) stay on the XLA path
+        if use_pallas and cfg['resblock'] == '1' and x.shape[1] % 128 == 0:
             x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile)
         else:
             xs = None
@@ -130,7 +132,12 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
         fused_resblock1, pack_resblock_weights)
     B, C, T = x.shape
     x_t = jnp.swapaxes(x, 1, 2)                       # (B, T, C)
-    eff_tile = min(tile, T) if T % min(tile, T) == 0 else T
+    # scale the tile with channel width so the in-kernel chain fits VMEM
+    # (tile*C ≈ 1M elements ≈ 4 MB per live intermediate)
+    eff_tile = tile
+    while eff_tile * C > (1 << 20) and eff_tile > 512:
+        eff_tile //= 2
+    eff_tile = min(eff_tile, T) if T % min(eff_tile, T) == 0 else T
     pad_T = -(-T // eff_tile) * eff_tile
     if pad_T != T:
         x_t = jnp.pad(x_t, ((0, 0), (0, pad_T - T), (0, 0)))

@@ -10,6 +10,8 @@ the contractions onto the MXU.
 Parameter layouts intentionally mirror the PyTorch modules one-to-one so the
 reference checkpoints convert mechanically (see checkpoint.py).
 """
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -39,11 +41,12 @@ class LinearNorm(nn.Module):
     """Dense layer (torch LinearNorm equivalent, model.py:57-72)."""
     features: int
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return nn.Dense(self.features, use_bias=self.use_bias,
-                        name='linear_layer')(x)
+                        dtype=self.dtype, name='linear_layer')(x)
 
 
 class ConvNorm1D(nn.Module):
@@ -52,12 +55,14 @@ class ConvNorm1D(nn.Module):
     kernel_size: int = 1
     dilation: int = 1
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return nn.Conv(self.features, kernel_size=(self.kernel_size,),
                        kernel_dilation=(self.dilation,), padding='SAME',
-                       use_bias=self.use_bias, name='conv')(x)
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       name='conv')(x)
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -69,12 +74,13 @@ class MultiHeadSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, valid_mask, deterministic=True):
         d, h = self.embed_dim, self.num_heads
         head_dim = d // h
-        qkv = nn.Dense(3 * d, name='in_proj')(x)            # (B, L, 3d)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name='in_proj')(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = head_dim ** -0.5
 
@@ -90,14 +96,16 @@ class MultiHeadSelfAttention(nn.Module):
         weights = nn.softmax(logits, axis=-1)
         weights = nn.Dropout(self.dropout, name='attn_drop')(
             weights, deterministic=deterministic)
-        out = jnp.einsum('bhqk,bhkd->bhqd', weights, v)
+        out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(v.dtype), v)
         b, _, l, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-        out = nn.Dense(d, name='out_proj')(out)
+        out = nn.Dense(d, dtype=self.dtype, name='out_proj')(out)
         out = nn.Dropout(self.dropout, name='resid_drop')(
             out, deterministic=deterministic)
-        out = nn.LayerNorm(epsilon=1e-5, name='layer_norm')(out + x)
-        return out
+        # LayerNorm statistics stay in f32 for stability
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                           name='layer_norm')(out + x)
+        return out.astype(self.dtype)
 
 
 class PositionWiseConvFF(nn.Module):
@@ -116,21 +124,25 @@ class PositionWiseConvFF(nn.Module):
     kernel_size: int
     dropout: float
     strict_masking: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, film_params, valid_mask=None, deterministic=True):
-        y = ConvNorm1D(self.conv_channels, self.kernel_size, name='conv1')(x)
+        y = ConvNorm1D(self.conv_channels, self.kernel_size,
+                       dtype=self.dtype, name='conv1')(x)
         y = nn.relu(y)
         if self.strict_masking and valid_mask is not None:
             y = jnp.where(valid_mask[..., None], y, 0.0)
-        y = ConvNorm1D(self.embed_dim, self.kernel_size, name='conv2')(y)
+        y = ConvNorm1D(self.embed_dim, self.kernel_size,
+                       dtype=self.dtype, name='conv2')(y)
         y = nn.Dropout(self.dropout, name='drop')(y, deterministic=deterministic)
-        y = nn.LayerNorm(epsilon=1e-5, name='layer_norm')(y + x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name='layer_norm')(y + x)
         if film_params is not None:
             gammas = film_params[:, None, :self.embed_dim]   # (B, 1, d)
             betas = film_params[:, None, self.embed_dim:]    # (B, 1, d)
             y = gammas * y + betas
-        return y
+        return y.astype(self.dtype)
 
 
 class FFTBlock(nn.Module):
@@ -142,16 +154,18 @@ class FFTBlock(nn.Module):
     conv_kernel: int
     conv_dropout: float
     strict_masking: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, film_params, valid_mask, deterministic=True):
         y = MultiHeadSelfAttention(
             self.embed_dim, self.num_heads, self.attn_dropout,
-            name='attention')(x, valid_mask, deterministic)
+            dtype=self.dtype, name='attention')(x, valid_mask, deterministic)
         y = jnp.where(valid_mask[..., None], y, 0.0)
         y = PositionWiseConvFF(
             self.embed_dim, self.conv_channels, self.conv_kernel,
             self.conv_dropout, strict_masking=self.strict_masking,
+            dtype=self.dtype,
             name='feed_forward')(y, film_params, valid_mask, deterministic)
         y = jnp.where(valid_mask[..., None], y, 0.0)
         return y

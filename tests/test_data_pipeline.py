@@ -1,0 +1,75 @@
+"""Data-pipeline robustness: corrupt-sample retry, host sharding,
+set creation + stats round trip."""
+import os
+
+import numpy as np
+import pytest
+
+from daft_exprt_tpu.data import DaftExprtDataset, BatchIterator
+from daft_exprt_tpu.data.sets import (
+    create_sets, extract_features_stats, save_stats,
+)
+
+from tests.synth_data import build_synthetic_dataset
+from tests.test_training import make_hp
+
+
+@pytest.fixture(scope='module')
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('dp'))
+    train_list, val_list, features_root = build_synthetic_dataset(
+        root, files_per_speaker=8)
+    return root, train_list, val_list, features_root
+
+
+def test_corrupt_sample_retry(synth):
+    root, train_list, val_list, _ = synth
+    hp = make_hp(root, train_list, val_list)
+    ds = DaftExprtDataset(train_list, hp, shuffle=False)
+    # corrupt the first entry's mel file
+    fdir, fname, _ = ds.data[0]
+    mel_path = os.path.join(fdir, f'{fname}.npy')
+    backup = open(mel_path, 'rb').read()
+    try:
+        with open(mel_path, 'wb') as f:
+            f.write(b'corrupt')
+        item = ds[0]                      # falls through to a neighbor
+        assert item['feature_file'] != fname
+    finally:
+        with open(mel_path, 'wb') as f:
+            f.write(backup)
+
+
+def test_host_sharding_partitions(synth):
+    root, train_list, val_list, _ = synth
+    hp = make_hp(root, train_list, val_list)
+    ds = DaftExprtDataset(train_list, hp, shuffle=False)
+    shards = {0: set(), 1: set()}
+    for host in range(2):
+        it = BatchIterator(ds, hp, batch_size=1, shuffle=True,
+                           drop_last=False, host_id=host, num_hosts=2)
+        it.set_epoch(3)
+        for _, dirs, files in it:
+            shards[host].update(zip(dirs, files))
+    assert shards[0].isdisjoint(shards[1])
+    assert len(shards[0]) + len(shards[1]) == len(ds)
+
+
+def test_create_sets_and_stats(synth, tmp_path):
+    root, _, _, features_root = synth
+    hp = make_hp(root,
+                 str(tmp_path / 'train.txt'), str(tmp_path / 'val.txt'))
+    create_sets(features_root, hp, proportion_validation=25)
+    with open(hp.training_files) as f:
+        train_lines = [l for l in f if l.strip()]
+    with open(hp.validation_files) as f:
+        val_lines = [l for l in f if l.strip()]
+    assert len(train_lines) > 0 and len(val_lines) > 0
+    # every 100/25=4th file goes to validation
+    assert len(val_lines) == 2 * (8 // 4)
+    stats = extract_features_stats(hp)
+    assert 'spk 0' in stats and 'spk 1' in stats and 'symbols' in stats
+    for spk in ('spk 0', 'spk 1'):
+        assert stats[spk]['pitch']['std'] > 0
+    path = save_stats(stats, str(tmp_path / 'exp'))
+    assert os.path.isfile(path)
