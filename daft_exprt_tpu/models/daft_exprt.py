@@ -94,7 +94,7 @@ class PhonemeEncoder(nn.Module):
     def __call__(self, symbols, film_params, input_lengths, deterministic=True):
         d = self.cfg['hidden_embed_dim']
         x = nn.Embed(self.n_symbols, d, name='symbols_embedding')(symbols)
-        pos = sinusoidal_table(self.max_len, d)[:symbols.shape[1]]
+        pos = sinusoidal_table(max(self.max_len, symbols.shape[1]), d)[:symbols.shape[1]]
         mask = sequence_mask(input_lengths, symbols.shape[1])
         x = jnp.where(mask[..., None], x + pos[None], 0.0)
         for idx in range(self.cfg['nb_blocks']):
@@ -122,7 +122,7 @@ class AccentEncoder(nn.Module):
         drop = self.cfg['conv_dropout']
         T = mel_specs.shape[-1]
 
-        pos = sinusoidal_table(self.max_len, d)[:T]
+        pos = sinusoidal_table(max(self.max_len, T), d)[:T]
         energy = ConvNorm1D(d, k, name='energy_embedding')(
             frames_energy[..., None])
         pitch = ConvNorm1D(d, k, name='pitch_embedding')(
@@ -281,7 +281,7 @@ class FrameDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, film_params, output_lengths, deterministic=True):
         T = x.shape[1]
-        pos = sinusoidal_table(self.max_len, self.embed_dim)[:T]
+        pos = sinusoidal_table(max(self.max_len, T), self.embed_dim)[:T]
         mask = sequence_mask(output_lengths, T)
         x = jnp.where(mask[..., None], x + pos[None], 0.0).astype(self.dtype)
         for idx in range(self.cfg['nb_blocks']):

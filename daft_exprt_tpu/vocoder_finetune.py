@@ -246,8 +246,22 @@ def finetune(data_dir, output_dir, generator_params, config=None,
     g_opt = optim_g.init(g_params_wn)
     d_opt = optim_d.init(d_params)
 
-    dataset = HiFiGANFinetuneDataset(data_dir, seed=seed)
-    _logger.info(f'{len(dataset)} (mel, wav) fine-tuning pairs')
+    all_names = find_pairs(data_dir)
+    if val_names is None:
+        # hold out a few pairs for validation (reference: finetune loop
+        # validates + logs audio, finetune_hifigan.py:271-302)
+        val_names = all_names[:max(1, len(all_names) // 20)] \
+            if len(all_names) > 4 else []
+    train_names = [n for n in all_names if n not in set(val_names)]
+    dataset = HiFiGANFinetuneDataset(data_dir, names=train_names, seed=seed)
+    _logger.info(f'{len(dataset)} training pairs, {len(val_names)} '
+                 f'validation pairs')
+
+    try:
+        from tensorboardX import SummaryWriter
+        sw = SummaryWriter(os.path.join(output_dir, 'logs'))
+    except ImportError:                                  # pragma: no cover
+        sw = None
 
     step, epoch = 0, 0
     start = time.time()
@@ -268,10 +282,51 @@ def finetune(data_dir, output_dir, generator_params, config=None,
                     f'Step {step} | Gen {float(g_loss):.3f} | '
                     f'Disc {float(d_loss):.3f} | Mel L1 {float(mel_l1):.4f} '
                     f'| {time.time() - start:.1f}s elapsed')
+                if sw is not None:
+                    sw.add_scalar('training/gen_loss', float(g_loss), step)
+                    sw.add_scalar('training/disc_loss', float(d_loss), step)
+                    sw.add_scalar('training/mel_l1', float(mel_l1), step)
             if step % checkpoint_interval == 0:
+                _validate(data_dir, val_names, g_params_wn, cfg, loss_mel_fn,
+                          sw, step)
                 _save(output_dir, step, g_params_wn, d_params, sn_state)
-    _save(output_dir, step, g_params_wn, d_params, sn_state)
+    if step % checkpoint_interval != 0:
+        _validate(data_dir, val_names, g_params_wn, cfg, loss_mel_fn, sw,
+                  step)
+        _save(output_dir, step, g_params_wn, d_params, sn_state)
+    if sw is not None:
+        sw.close()
     return generator_from_weight_norm(g_params_wn)
+
+
+def _validate(data_dir, val_names, g_params_wn, cfg, loss_mel_fn, sw, step):
+    """Full-utterance validation mel-L1 + TensorBoard audio
+    (reference: finetune_hifigan.py:271-302)."""
+    if not val_names:
+        return None
+    import numpy as np
+    plain = generator_from_weight_norm(g_params_wn)
+    losses = []
+    for idx, name in enumerate(val_names):
+        mel = np.load(os.path.join(data_dir, f'{name}.npy'))
+        wav, _ = load_wav(os.path.join(data_dir, f'{name}.wav'),
+                          target_sr=SAMPLING_RATE)
+        from daft_exprt_tpu.models.hifigan import generator_forward
+        y_hat = np.asarray(generator_forward(
+            plain, mel[None].astype(np.float32), cfg))[0, 0]
+        n = min(len(y_hat), len(wav))
+        gt_mel = np.asarray(loss_mel_fn(wav[None, :n].astype(np.float32)))
+        gen_mel = np.asarray(loss_mel_fn(y_hat[None, :n].astype(np.float32)))
+        losses.append(float(np.mean(np.abs(gt_mel - gen_mel))))
+        if sw is not None and idx < 3:
+            sw.add_audio(f'generated/{name}',
+                         np.clip(y_hat[:n], -1, 1)[:, None], step,
+                         sample_rate=SAMPLING_RATE)
+    val_l1 = float(np.mean(losses))
+    _logger.info(f'Validation mel L1 [{step}]: {val_l1:.4f}')
+    if sw is not None:
+        sw.add_scalar('validation/mel_l1', val_l1, step)
+    return val_l1
 
 
 def _save(output_dir, step, g_params_wn, d_params, sn_state):

@@ -34,7 +34,7 @@ def main(args):
     from scripts.adapt_speaker import make_freeze_mask
     from scripts.synthesize import load_model_for_synthesis
 
-    model, params, hparams = load_model_for_synthesis(args.checkpoint)
+    model, params, hparams, _extra = load_model_for_synthesis(args.checkpoint)
     hparams.training_files = args.training_files
     hparams.validation_files = args.validation_files or args.training_files
 

@@ -45,7 +45,7 @@ def main(args):
         MODEL_INPUT_KEYS, make_train_step)
     from scripts.synthesize import load_model_for_synthesis
 
-    model, params, hparams = load_model_for_synthesis(args.checkpoint)
+    model, params, hparams, _extra = load_model_for_synthesis(args.checkpoint)
     hparams.training_files = args.training_files
     hparams.validation_files = args.validation_files or args.training_files
 

@@ -22,7 +22,7 @@ _logger = logging.getLogger(__name__)
 def main(args):
     from scripts.synthesize import load_model_for_synthesis
 
-    model, params, hparams = load_model_for_synthesis(args.checkpoint)
+    model, params, hparams, _extra = load_model_for_synthesis(args.checkpoint)
     W = np.asarray(params['spk_projection']['linear_layer']['kernel'])
     sv = np.linalg.svd(W, compute_uv=False)
     print(f'spk_projection: {W.shape}, singular values '

@@ -181,11 +181,13 @@ def load_model_for_synthesis(checkpoint_path, config_overrides=None):
     from daft_exprt_tpu.hparams import HyperParams
     from daft_exprt_tpu.models.daft_exprt import DaftExprt
 
+    extra = {}
     if checkpoint_path.endswith('.pt'):
         params, config_params, _ = ckpt.load_torch_checkpoint(checkpoint_path)
     else:
         payload, meta = ckpt.load_checkpoint(checkpoint_path)
         params = payload['params']
+        extra = payload.get('extra') or {}
         config_params = meta.get('config_params', {})
     config_params = dict(config_params)
     config_params.update(config_overrides or {})
@@ -198,7 +200,7 @@ def load_model_for_synthesis(checkpoint_path, config_overrides=None):
     config_params.setdefault('speakers', ['speaker_0'])
     hparams = HyperParams(verbose=False, **config_params)
     model = DaftExprt.from_hparams(hparams)
-    return model, params, hparams
+    return model, params, hparams, extra
 
 
 # ----------------------------------------------------------------------
@@ -273,8 +275,8 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
 
     overrides = json.loads(args.config_overrides) \
         if args.config_overrides else {}
-    model, params, hparams = load_model_for_synthesis(args.checkpoint,
-                                                      overrides)
+    model, params, hparams, ckpt_extra = load_model_for_synthesis(
+        args.checkpoint, overrides)
 
     sentences, file_names, external_prosody = parse_symbol_prosody_file(
         args.symbol_prosody_file, hparams)
@@ -295,9 +297,16 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
         spk_emb = average_embedding_from_wav_dir(args.spk_emb_audios_dir)
     elif args.spk_emb_file:
         spk_emb = np.load(args.spk_emb_file).reshape(-1).astype(np.float32)
+    elif 'memorized_spk_emb' in ckpt_extra:
+        # adapted checkpoints carry the speaker embedding memorized by
+        # scripts/adapt_speaker.py
+        spk_emb = np.asarray(ckpt_extra['memorized_spk_emb'],
+                             dtype=np.float32).reshape(-1)
+        _logger.info('using memorized speaker embedding from the checkpoint')
     else:
-        raise ValueError('provide --spk_emb_audios_dir or --spk_emb_file '
-                         '(zero-shot ECAPA speaker conditioning is required)')
+        raise ValueError('provide --spk_emb_audios_dir or --spk_emb_file, '
+                         'or use an adapted checkpoint with a memorized '
+                         'speaker embedding')
 
     if args.accent_emb_audios_dir:
         accent_emb = accent_embedding_from_wav_dir(
@@ -305,11 +314,16 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
     elif args.accent_emb_file:
         accent_emb = np.load(args.accent_emb_file).reshape(-1).astype(
             np.float32)
+    elif 'memorized_accent_emb' in ckpt_extra:
+        accent_emb = np.asarray(ckpt_extra['memorized_accent_emb'],
+                                dtype=np.float32).reshape(-1)
+        _logger.info('using memorized accent embedding from the checkpoint')
     elif args.neutralize_prosody:
         accent_emb = np.zeros(model.hidden_dim, dtype=np.float32)
     else:
         raise ValueError('provide --accent_emb_audios_dir, '
-                         '--accent_emb_file, or --neutralize_prosody')
+                         '--accent_emb_file, --neutralize_prosody, or an '
+                         'accent-adapted checkpoint (memorized_accent_emb)')
 
     vocoder = None
     if not args.use_griffin_lim:
