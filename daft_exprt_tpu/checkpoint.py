@@ -111,10 +111,27 @@ def strip_ddp_prefix(state_dict):
             for k, v in state_dict.items()}
 
 
+def _count_blocks(sd, module):
+    idxs = set()
+    prefix = f'{module}.blocks.'
+    for key in sd:
+        if key.startswith(prefix):
+            idxs.add(int(key[len(prefix):].split('.', 1)[0]))
+    return (max(idxs) + 1) if idxs else 0
+
+
 def convert_torch_state_dict(state_dict: Dict[str, Any],
-                             nb_pe_blocks=4, nb_ae_blocks=4, nb_fd_blocks=4):
-    """Reference PyTorch DaftExprt state_dict → flax params dict."""
+                             nb_pe_blocks=None, nb_ae_blocks=None,
+                             nb_fd_blocks=None):
+    """Reference PyTorch DaftExprt state_dict → flax params dict. Block
+    counts are inferred from the state dict unless given explicitly."""
     sd = strip_ddp_prefix({k: np.asarray(v) for k, v in state_dict.items()})
+    if nb_pe_blocks is None:
+        nb_pe_blocks = _count_blocks(sd, 'phoneme_encoder')
+    if nb_ae_blocks is None:
+        nb_ae_blocks = _count_blocks(sd, 'accent_encoder')
+    if nb_fd_blocks is None:
+        nb_fd_blocks = _count_blocks(sd, 'frame_decoder')
 
     params: Dict[str, Any] = {}
     params['spk_projection'] = {

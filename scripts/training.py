@@ -90,6 +90,15 @@ def pre_process(args):
 
 
 def train(args):
+    if args.coordinator_address:
+        # multi-host pod slice: one process per host; replaces the
+        # reference's TCP/NCCL rendezvous (reference: train.py:224-227,673)
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_hosts,
+            process_id=args.host_id)
+
     from daft_exprt_tpu.train import launch_training
 
     hparams = build_hparams(args)
@@ -139,6 +148,10 @@ if __name__ == '__main__':
     p = sub.add_parser('train')
     p.add_argument('-chk', '--checkpoint', type=str, default='')
     p.add_argument('--num_iterations', type=int, default=None)
+    p.add_argument('--coordinator_address', type=str, default='',
+                   help='host:port of process 0 for multi-host training')
+    p.add_argument('--num_hosts', type=int, default=1)
+    p.add_argument('--host_id', type=int, default=0)
     p.set_defaults(func=train)
 
     p = sub.add_parser('fine_tune')
