@@ -109,9 +109,7 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         x = _conv_transpose1d(x, params[f'ups_{i}']['w'],
                               params[f'ups_{i}']['b'], stride=u,
                               padding=(k - u) // 2)
-        # the fused kernel's HBM-slice DMA needs lane-aligned channels;
-        # narrow tail levels (64/32 ch) stay on the XLA path
-        if use_pallas and cfg['resblock'] == '1' and x.shape[1] % 128 == 0:
+        if use_pallas and cfg['resblock'] == '1':
             x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile)
         else:
             xs = None
@@ -127,30 +125,26 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
 
 def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
     """Multi-receptive-field fusion of one upsample level's resblocks via
-    the fused Pallas kernel. x: (B, C, T) → (B, C, T)."""
+    the fused channels-in-sublanes Pallas kernel: all ``num_kernels``
+    resblocks computed in one HBM round trip. x: (B, C, T) → (B, C, T)."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
-        fused_resblock1, pack_resblock_weights)
+        fused_mrf_ct, pack_mrf_weights)
     B, C, T = x.shape
-    x_t = jnp.swapaxes(x, 1, 2)                       # (B, T, C)
-    # scale the tile with channel width so the in-kernel chain fits VMEM
-    # (tile*C ≈ 1M elements ≈ 4 MB per live intermediate)
+    ks = tuple(cfg['resblock_kernel_sizes'])
+    dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
+    # scale the time tile with channel width so the in-kernel chain
+    # (several live (C, tile) f32 intermediates + the packed weights)
+    # fits VMEM; tile*C ≈ 512K elements ≈ 2 MB per live buffer
     eff_tile = tile
-    while eff_tile * C > (1 << 20) and eff_tile > 512:
+    while eff_tile * C > (1 << 19) and eff_tile > 512:
         eff_tile //= 2
-    eff_tile = min(eff_tile, T) if T % min(eff_tile, T) == 0 else T
-    pad_T = -(-T // eff_tile) * eff_tile
-    if pad_T != T:
-        x_t = jnp.pad(x_t, ((0, 0), (0, pad_T - T), (0, 0)))
-    xs = None
-    for j, (rk, dils) in enumerate(zip(cfg['resblock_kernel_sizes'],
-                                       cfg['resblock_dilation_sizes'])):
-        w1, b1, w2, b2 = pack_resblock_weights(
-            params[f'resblock_{level}_{j}'], len(dils))
-        y = fused_resblock1(x_t, w1, b1, w2, b2, rk, tuple(dils),
-                            tile=eff_tile, interpret=interpret)
-        xs = y if xs is None else xs + y
-    xs = xs[:, :T, :] / num_kernels
-    return jnp.swapaxes(xs, 1, 2)
+    if T % eff_tile != 0:
+        eff_tile = min(eff_tile, T)
+        while T % eff_tile != 0:
+            eff_tile //= 2
+    weights = pack_mrf_weights(params, level, ks, dils)
+    return fused_mrf_ct(x, weights, ks, dils, tile=eff_tile,
+                        interpret=interpret)
 
 
 def init_generator_params(rng, config=None, std=0.01):

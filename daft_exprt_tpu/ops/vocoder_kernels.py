@@ -49,12 +49,13 @@ def _fused_resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     copy.start()
     copy.wait()
 
-    cur = x_scratch[:]                      # (tile + 2*halo, C)
+    cdt = x_scratch.dtype
+    cur = x_scratch[:].astype(jnp.float32)  # (tile + 2*halo, C)
     cur_len = tile + 2 * halo
     half = (k - 1) // 2
     for i, d in enumerate(dilations):
         h1 = d * half
-        t_in = _lrelu(cur)
+        t_in = _lrelu(cur).astype(cdt)
         L1 = cur_len - 2 * h1
         acc = None
         for tap in range(k):
@@ -63,7 +64,7 @@ def _fused_resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                               preferred_element_type=jnp.float32)
             acc = contrib if acc is None else acc + contrib
         acc = acc + b1_ref[i][None, :]
-        t2 = _lrelu(acc)
+        t2 = _lrelu(acc).astype(cdt)
         L2 = L1 - 2 * half
         acc2 = None
         for tap in range(k):
@@ -121,13 +122,152 @@ def fused_resblock1(x, w1, b1, w2, b2, kernel_size, dilations, tile=4096,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * halo, C), jnp.float32),
+            pltpu.VMEM((tile + 2 * halo, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x_padded, w1, b1, w2, b2)
+
+
+def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
+    """Multi-receptive-field fusion, channels-in-sublanes layout.
+
+    refs = [w1_0, b1_0, w2_0, b2_0, ..., w1_{nb-1}, ..., o_ref, x_scratch,
+    sem]. x_hbm: (B, C, T + 2*halo) in HBM; o_ref block: (1, C, tile).
+    Computes (Σ_blocks resblock1_b(x)) / nb over one time tile, keeping the
+    whole chain in VMEM. Weights w: (n_dil, k, C_out, C_in); biases
+    b: (n_dil, C, 1).
+    """
+    o_ref = refs[4 * nb]
+    x_scratch = refs[4 * nb + 1]
+    sem = refs[4 * nb + 2]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(t * tile, tile + 2 * halo)],
+        x_scratch, sem)
+    copy.start()
+    copy.wait()
+
+    cdt = x_scratch.dtype
+    x0 = x_scratch[:]                         # (C, tile + 2*halo), cdt
+    acc_out = None
+    for blk in range(nb):
+        w1_ref, b1_ref, w2_ref, b2_ref = refs[4 * blk: 4 * blk + 4]
+        k = ks[blk]
+        half = (k - 1) // 2
+        cur = x0.astype(jnp.float32)
+        cur_len = tile + 2 * halo
+        for i, d in enumerate(dils[blk]):
+            h1 = d * half
+            t_in = _lrelu(cur).astype(cdt)
+            L1 = cur_len - 2 * h1
+            acc = None
+            for tap in range(k):
+                seg = t_in[:, tap * d: tap * d + L1]   # static lane slice
+                contrib = jnp.dot(w1_ref[i, tap], seg,
+                                  preferred_element_type=jnp.float32)
+                acc = contrib if acc is None else acc + contrib
+            acc = acc + b1_ref[i]
+            t2 = _lrelu(acc).astype(cdt)
+            L2 = L1 - 2 * half
+            acc2 = None
+            for tap in range(k):
+                seg = t2[:, tap: tap + L2]
+                contrib = jnp.dot(w2_ref[i, tap], seg,
+                                  preferred_element_type=jnp.float32)
+                acc2 = contrib if acc2 is None else acc2 + contrib
+            acc2 = acc2 + b2_ref[i]
+            shrink = h1 + half
+            cur = cur[:, shrink: shrink + L2] + acc2
+            cur_len = L2
+        extra = (cur_len - tile) // 2
+        tile_out = cur[:, extra: extra + tile]
+        acc_out = tile_out if acc_out is None else acc_out + tile_out
+    o_ref[0, :, :] = (acc_out * (1.0 / nb)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
+                                             'tile', 'interpret'))
+def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
+                 interpret=False):
+    """Fused multi-receptive-field resblock group, (B, C, T) layout.
+
+    x: (B, C, T) — the natural conv layout (time in lanes), so no
+    transposes are needed around the kernel. ``weights`` is a flat list
+    [w1_0, b1_0, w2_0, b2_0, ...] per resblock with w: (n_dil, k, C_out,
+    C_in) and b: (n_dil, C, 1). Returns (Σ_b resblock1_b(x)) / nb with
+    zero 'SAME' padding semantics at the utterance edges collapsed to the
+    fused-chain form (interior samples exact — see fused_resblock1).
+
+    One HBM round trip for the whole group vs ~6·nb for per-conv XLA
+    lowering; matmuls are (C, C) @ (C, L) with time in lanes, so small-C
+    levels (32/64 channels) keep full lane occupancy.
+    """
+    B, C, T = x.shape
+    nb = len(kernel_sizes)
+    halo = max(resblock1_halo(k, d)
+               for k, d in zip(kernel_sizes, dilations))
+    # lane-dim DMA offsets: keep everything on 128-lane granules
+    halo = -(-halo // 128) * 128
+    if T % tile != 0:
+        raise ValueError(f'T={T} not a multiple of tile={tile}')
+    n_tiles = T // tile
+    x_padded = jnp.pad(x, ((0, 0), (0, 0), (halo, halo)))
+
+    kernel = functools.partial(
+        _fused_mrf_ct_kernel, tile=tile, halo=halo,
+        ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
+        nb=nb)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(
+            w.shape, (lambda b, t, _n=w.ndim: (0,) * _n),
+            memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, C, tile), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, T), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, tile + 2 * halo), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(x_padded, *weights)
+
+
+def pack_mrf_weights(params, level, kernel_sizes, dilations,
+                     torch_layout=True):
+    """Stack one upsample level's resblock weights for ``fused_mrf_ct``.
+
+    params: generator params dict with ``resblock_{level}_{j}`` entries
+    (see models/hifigan.py). Returns the flat [w1, b1, w2, b2] * nb list
+    with w as (n_dil, k, C_out, C_in) and b as (n_dil, C, 1).
+    """
+    out = []
+    for j, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
+        rb = params[f'resblock_{level}_{j}']
+        for prefix in ('convs1', 'convs2'):
+            ws, bs = [], []
+            for i in range(len(dils)):
+                w = rb[f'{prefix}_{i}']['w']
+                if torch_layout:
+                    w = jnp.transpose(w, (2, 0, 1))   # (out,in,k)->(k,out,in)
+                ws.append(w)
+                bs.append(rb[f'{prefix}_{i}']['b'][:, None])
+            out.append(jnp.stack(ws))
+            out.append(jnp.stack(bs))
+    return out
 
 
 def resblock1_reference(x, w1, b1, w2, b2, kernel_size, dilations):

@@ -86,3 +86,56 @@ def test_generator_pallas_path_matches_interpret():
     assert out.shape == ref.shape
     # interior agreement (first/last 64 wav samples carry edge semantics)
     assert np.abs(out[:, :, 64:-64] - ref[:, :, 64:-64]).max() < 1e-4
+
+
+@pytest.mark.parametrize('C', [32, 64, 128])
+def test_fused_mrf_ct_interior_exact(C):
+    """Channels-in-sublanes MRF kernel vs per-block reference, V1 config."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import fused_mrf_ct
+    rng = np.random.RandomState(3)
+    ks = (3, 7, 11)
+    dils = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    B, T = 2, 1024
+    x_ct = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    weights, ref_acc = [], None
+    x_tc = jnp.swapaxes(x_ct, 1, 2)
+    for k, d in zip(ks, dils):
+        w1 = jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02)
+        b1 = jnp.asarray(rng.randn(len(d), C).astype(np.float32) * .01)
+        w2 = jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02)
+        b2 = jnp.asarray(rng.randn(len(d), C).astype(np.float32) * .01)
+        # ct kernel wants (n_dil, k, C_out, C_in) + (n_dil, C, 1); the
+        # reference wants (n_dil, k, C_in, C_out) + (n_dil, C)
+        weights += [w1, b1[:, :, None], w2, b2[:, :, None]]
+        r = resblock1_reference(x_tc, jnp.swapaxes(w1, 2, 3), b1,
+                                jnp.swapaxes(w2, 2, 3), b2, k, d)
+        ref_acc = r if ref_acc is None else ref_acc + r
+    ref = np.asarray(jnp.swapaxes(ref_acc / len(ks), 1, 2))
+    out = np.asarray(fused_mrf_ct(x_ct, weights, ks, dils, tile=512,
+                                  interpret=True))
+    h = max(resblock1_halo(k, d) for k, d in zip(ks, dils))
+    assert np.abs(out[:, :, h:-h] - ref[:, :, h:-h]).max() < 1e-5
+    assert np.abs(out - ref).max() < 0.1
+
+
+def test_fused_mrf_ct_bf16():
+    """bf16 input path compiles in interpret mode and stays close to f32."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import fused_mrf_ct
+    rng = np.random.RandomState(4)
+    ks, dils = (3,), ((1, 2),)
+    B, C, T = 1, 32, 512
+    x = rng.randn(B, C, T).astype(np.float32) * 0.1
+    w1 = rng.randn(2, 3, C, C).astype(np.float32) * 0.02
+    b1 = rng.randn(2, C, 1).astype(np.float32) * 0.01
+    w2 = rng.randn(2, 3, C, C).astype(np.float32) * 0.02
+    b2 = rng.randn(2, C, 1).astype(np.float32) * 0.01
+    weights = [jnp.asarray(a) for a in (w1, b1, w2, b2)]
+    out32 = np.asarray(fused_mrf_ct(jnp.asarray(x), weights, ks, dils,
+                                    tile=256, interpret=True))
+    wb = [jnp.asarray(a).astype(jnp.bfloat16) for a in (w1, b1, w2, b2)]
+    out16 = np.asarray(fused_mrf_ct(jnp.asarray(x).astype(jnp.bfloat16),
+                                    wb, ks, dils, tile=256,
+                                    interpret=True).astype(jnp.float32))
+    assert np.abs(out16 - out32).max() < 0.05
