@@ -50,13 +50,14 @@ def main():
 
     voc_params = init_generator_params(jax.random.PRNGKey(2))
 
-    # bf16 vocoder activations halve memory (batch 32 fits unchunked);
-    # BENCH_DTYPE=float32 selects the parity-exact path, chunked so peak
-    # HBM stays under the 16 GB/chip budget (f32 activations are
-    # ~0.7 GB/utterance at T=1024)
-    voc_dtype = jnp.float32 if os.environ.get('BENCH_DTYPE') == 'float32' \
-        else jnp.bfloat16
-    VOC_CHUNK = 8 if voc_dtype == jnp.float32 else B
+    # Default: bf16 activations + the fused Pallas MRF/polyphase vocoder
+    # path (one HBM pass per upsample level). BENCH_DTYPE=float32 selects
+    # the parity-exact XLA f32 path, chunked so peak HBM stays under the
+    # 16 GB/chip budget (f32 activations are ~0.7 GB/utterance at T=1024).
+    parity = os.environ.get('BENCH_DTYPE') == 'float32'
+    voc_dtype = jnp.float32 if parity else jnp.bfloat16
+    use_pallas = not parity
+    VOC_CHUNK = 8 if parity else B
 
     @jax.jit
     def pipeline(params, voc_params, b):
@@ -65,7 +66,8 @@ def main():
                                     voc_params)
         acc = jnp.float32(0.0)
         for i in range(0, B, VOC_CHUNK):
-            wav = generator_forward(vp, mel[i:i + VOC_CHUNK].astype(voc_dtype))
+            wav = generator_forward(vp, mel[i:i + VOC_CHUNK].astype(voc_dtype),
+                                    use_pallas=use_pallas)
             acc = acc + jnp.sum(jnp.abs(wav.astype(jnp.float32)))
         # scalar output: fetching it is the only reliable synchronization on
         # the axon platform (block_until_ready returns before execution)

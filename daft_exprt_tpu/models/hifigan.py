@@ -17,6 +17,7 @@ convert by folding only.
 """
 from typing import Any, Dict
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,15 +52,63 @@ def _conv1d(x, w, b, dilation=1, padding=None):
 def _conv_transpose1d(x, w, b, stride, padding):
     """torch ConvTranspose1d semantics; w: (in, out, k) torch layout.
 
-    Implemented as an input-dilated convolution with the flipped, transposed
-    kernel: y = conv(dilate(x, s), flip(w^T), pad k-1-p).
+    When k - 2p == s (both HiFi-GAN V1 upsample levels) this lowers to the
+    polyphase form: one (s*C_out, |S|*C_in) @ (|S|*C_in, T) matmul over a
+    few shifted copies of x, then a phase interleave — s× fewer FLOPs than
+    the input-dilated convolution (which multiplies the inserted zeros)
+    and a far better MXU shape. Otherwise falls back to the input-dilated
+    convolution: y = conv(dilate(x, s), flip(w^T), pad k-1-p).
     """
     k = w.shape[-1]
+    s = stride
+    p = padding
+    if k - 2 * p == s and s > 1 and \
+            os.environ.get('DAFT_POLY_UPS', '1') != '0':
+        return _conv_transpose1d_poly(x, w, b, s, p)
     w_t = jnp.flip(jnp.swapaxes(w, 0, 1), axis=-1)      # (out, in, k)
     pad = k - 1 - padding
     y = jax.lax.conv_general_dilated(
         x, w_t, window_strides=(1,), padding=[(pad, pad)],
         lhs_dilation=(stride,), dimension_numbers=_DN)
+    return y + b[None, :, None]
+
+
+def _conv_transpose1d_poly(x, w, b, s, p):
+    """Polyphase transposed conv, valid when k - 2p == s.
+
+    y[co, q*s + r] = Σ_t Σ_ci w[ci, co, j0(r) + t*s] * x[ci, q + δ(r) - t]
+    with j0(r) = (r + p) mod s and δ(r) = (r + p) // s.
+    """
+    B, C_in, T = x.shape
+    C_out = w.shape[1]
+    k = w.shape[-1]
+    n_taps = k // s                                     # taps per phase
+    # shifts δ(r) - t span [δ_min - (n_taps-1), δ_max]
+    deltas = [(r + p) // s for r in range(s)]
+    shifts = sorted({d - t for d in deltas for t in range(n_taps)},
+                    reverse=True)
+    # stacked input: rows are x shifted by each needed offset
+    # x[q + shift]: left-pad by max(shifts), right-pad by -min(shifts)
+    hi, lo = max(shifts), min(shifts)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (-lo if lo < 0 else 0,
+                                      hi if hi > 0 else 0)))
+    off0 = -lo if lo < 0 else 0
+    stacked = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xp, off0 + sh, T, axis=2)
+         for sh in shifts], axis=1)                     # (B, |S|*C_in, T)
+    # big weight: row block r*C_out..(r+1)*C_out, col block for shift
+    shift_col = {sh: i for i, sh in enumerate(shifts)}
+    W = jnp.zeros((s * C_out, len(shifts) * C_in), x.dtype)
+    for r in range(s):
+        j0, d = (r + p) % s, deltas[r]
+        for t in range(n_taps):
+            col = shift_col[d - t]
+            W = W.at[r * C_out:(r + 1) * C_out,
+                     col * C_in:(col + 1) * C_in].set(
+                jnp.swapaxes(w[:, :, j0 + t * s], 0, 1).astype(x.dtype))
+    y = jnp.einsum('oc,bct->bot', W, stacked)           # (B, s*C_out, T)
+    y = y.reshape(B, s, C_out, T)
+    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(B, C_out, T * s)
     return y + b[None, :, None]
 
 
@@ -142,9 +191,13 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
         eff_tile = min(eff_tile, T)
         while T % eff_tile != 0:
             eff_tile //= 2
-    weights = pack_mrf_weights(params, level, ks, dils)
+    # narrow levels (C<=64): one (C, k*C)@(k*C, L) matmul per conv keeps
+    # the MXU reduction deep; wide levels use per-tap (C, C) matmuls so
+    # the stacked operand doesn't blow VMEM
+    merge = C <= 64 and os.environ.get('DAFT_MRF_MERGE', '1') != '0'
+    weights = pack_mrf_weights(params, level, ks, dils, merge_taps=merge)
     return fused_mrf_ct(x, weights, ks, dils, tile=eff_tile,
-                        interpret=interpret)
+                        merge_taps=merge, interpret=interpret)
 
 
 def init_generator_params(rng, config=None, std=0.01):

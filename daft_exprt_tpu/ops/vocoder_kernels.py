@@ -131,18 +131,48 @@ def fused_resblock1(x, w1, b1, w2, b2, kernel_size, dilations, tile=4096,
     )(x_padded, w1, b1, w2, b2)
 
 
-def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
+def _ct_conv(t_in, w_ref, b_ref, i, k, d, L_out, merged, stack_ref=None):
+    """One dilated conv in (C, T) layout.
+
+    merged=False: w_ref[i] is (k, C_out, C_in); k separate matmuls.
+    merged=True:  w_ref[i] is (C_out, k*C_in); the tap shifts are stacked
+    along sublanes into one (k*C_in, L) operand so the MXU sees a single
+    matmul with a k×-deeper reduction — essential when C is 32/64 and a
+    per-tap (C, C) matmul would use a sliver of the systolic array. The
+    shifts are staged through ``stack_ref`` (VMEM scratch) because Mosaic
+    cannot concatenate lane-rotated vectors directly.
+    """
+    if merged:
+        C = t_in.shape[0]
+        for tap in range(k):
+            stack_ref[tap * C:(tap + 1) * C, 0:L_out] = \
+                t_in[:, tap * d: tap * d + L_out]
+        stacked = stack_ref[0:k * C, 0:L_out]
+        acc = jnp.dot(w_ref[i], stacked,
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = None
+        for tap in range(k):
+            seg = t_in[:, tap * d: tap * d + L_out]    # static lane slice
+            contrib = jnp.dot(w_ref[i, tap], seg,
+                              preferred_element_type=jnp.float32)
+            acc = contrib if acc is None else acc + contrib
+    return acc + b_ref[i]
+
+
+def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge):
     """Multi-receptive-field fusion, channels-in-sublanes layout.
 
     refs = [w1_0, b1_0, w2_0, b2_0, ..., w1_{nb-1}, ..., o_ref, x_scratch,
     sem]. x_hbm: (B, C, T + 2*halo) in HBM; o_ref block: (1, C, tile).
     Computes (Σ_blocks resblock1_b(x)) / nb over one time tile, keeping the
-    whole chain in VMEM. Weights w: (n_dil, k, C_out, C_in); biases
-    b: (n_dil, C, 1).
+    whole chain in VMEM. Weights w: (n_dil, k, C_out, C_in) — or
+    (n_dil, C_out, k*C_in) when ``merge`` — biases b: (n_dil, C, 1).
     """
     o_ref = refs[4 * nb]
     x_scratch = refs[4 * nb + 1]
     sem = refs[4 * nb + 2]
+    stack_ref = refs[4 * nb + 3] if merge else None
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -165,22 +195,12 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
             h1 = d * half
             t_in = _lrelu(cur).astype(cdt)
             L1 = cur_len - 2 * h1
-            acc = None
-            for tap in range(k):
-                seg = t_in[:, tap * d: tap * d + L1]   # static lane slice
-                contrib = jnp.dot(w1_ref[i, tap], seg,
-                                  preferred_element_type=jnp.float32)
-                acc = contrib if acc is None else acc + contrib
-            acc = acc + b1_ref[i]
+            acc = _ct_conv(t_in, w1_ref, b1_ref, i, k, d, L1, merge,
+                           stack_ref)
             t2 = _lrelu(acc).astype(cdt)
             L2 = L1 - 2 * half
-            acc2 = None
-            for tap in range(k):
-                seg = t2[:, tap: tap + L2]
-                contrib = jnp.dot(w2_ref[i, tap], seg,
-                                  preferred_element_type=jnp.float32)
-                acc2 = contrib if acc2 is None else acc2 + contrib
-            acc2 = acc2 + b2_ref[i]
+            acc2 = _ct_conv(t2, w2_ref, b2_ref, i, k, 1, L2, merge,
+                            stack_ref)
             shrink = h1 + half
             cur = cur[:, shrink: shrink + L2] + acc2
             cur_len = L2
@@ -191,9 +211,10 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
-                                             'tile', 'interpret'))
+                                             'tile', 'merge_taps',
+                                             'interpret'))
 def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
-                 interpret=False):
+                 merge_taps=False, interpret=False):
     """Fused multi-receptive-field resblock group, (B, C, T) layout.
 
     x: (B, C, T) — the natural conv layout (time in lanes), so no
@@ -221,7 +242,7 @@ def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
     kernel = functools.partial(
         _fused_mrf_ct_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        nb=nb)
+        nb=nb, merge=merge_taps)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -239,7 +260,8 @@ def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
         scratch_shapes=[
             pltpu.VMEM((C, tile + 2 * halo), x.dtype),
             pltpu.SemaphoreType.DMA,
-        ],
+        ] + ([pltpu.VMEM((max(kernel_sizes) * C, tile + 2 * halo), x.dtype)]
+             if merge_taps else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
@@ -247,12 +269,14 @@ def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
 
 
 def pack_mrf_weights(params, level, kernel_sizes, dilations,
-                     torch_layout=True):
+                     torch_layout=True, merge_taps=False):
     """Stack one upsample level's resblock weights for ``fused_mrf_ct``.
 
     params: generator params dict with ``resblock_{level}_{j}`` entries
     (see models/hifigan.py). Returns the flat [w1, b1, w2, b2] * nb list
-    with w as (n_dil, k, C_out, C_in) and b as (n_dil, C, 1).
+    with w as (n_dil, k, C_out, C_in) — or (n_dil, C_out, k*C_in) when
+    ``merge_taps``, matching the kernel's sublane-stacked operand order —
+    and b as (n_dil, C, 1).
     """
     out = []
     for j, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
@@ -265,7 +289,11 @@ def pack_mrf_weights(params, level, kernel_sizes, dilations,
                     w = jnp.transpose(w, (2, 0, 1))   # (out,in,k)->(k,out,in)
                 ws.append(w)
                 bs.append(rb[f'{prefix}_{i}']['b'][:, None])
-            out.append(jnp.stack(ws))
+            w = jnp.stack(ws)                         # (n_dil, k, out, in)
+            if merge_taps:
+                n_dil, kk, co, ci = w.shape
+                w = jnp.transpose(w, (0, 2, 1, 3)).reshape(n_dil, co, kk * ci)
+            out.append(w)
             out.append(jnp.stack(bs))
     return out
 

@@ -37,6 +37,8 @@ def main():
                     help='also run the per-level breakdown')
     ap.add_argument('--configs', default='xla-f32,xla-bf16,pallas-f32,pallas-bf16',
                     help='comma-separated subset of configs to run')
+    ap.add_argument('--check', action='store_true',
+                    help='validate pallas vs XLA numerics on-device first')
     args = ap.parse_args()
 
     import jax
@@ -60,6 +62,22 @@ def main():
         return timeit(f, p, mel, runs=args.runs)
 
     audio_s = B * T * 256 / 22050.0
+    if args.check:
+        # numerical validation of the compiled (non-interpret) pallas path
+        # vs the XLA path on the actual device, small shape
+        mel_s = jnp.asarray(np.random.RandomState(1).randn(1, 80, 64),
+                            jnp.float32)
+        ref = np.asarray(jax.jit(
+            lambda p, m: generator_forward(p, m))(params, mel_s))
+        out = np.asarray(jax.jit(
+            lambda p, m: generator_forward(p, m, use_pallas=True,
+                                           pallas_tile=2048))(params, mel_s))
+        err = np.abs(out[:, :, 512:-512] - ref[:, :, 512:-512]).max()
+        edge = np.abs(out - ref).max()
+        print(f'check: interior_max_err={err:.2e} full_max_err={edge:.2e}',
+              flush=True)
+        assert err < 5e-4, 'pallas path diverges from XLA path'
+
     wanted = set(args.configs.split(','))
     for name, dtype, up, tile in [
             ('xla-f32', jnp.float32, False, 0),
@@ -80,7 +98,15 @@ def main():
     if not args.levels:
         return
 
-    # per-level breakdown (XLA f32): time prefix pipelines and difference
+    # per-level breakdown for the last selected config: time prefix
+    # pipelines and difference
+    last = args.configs.split(',')[-1]
+    lvl_dtype = jnp.bfloat16 if last.endswith('bf16') else jnp.float32
+    lvl_pallas = last.startswith('pallas')
+    lvl_params = jax.tree_util.tree_map(lambda x: x.astype(lvl_dtype), params)
+    lvl_mel = mel.astype(lvl_dtype)
+    print(f'breakdown config: dtype={lvl_dtype.__name__} '
+          f'pallas={lvl_pallas}', flush=True)
     cfg = DEFAULT_CONFIG
 
     def prefix(p, m, n_levels, use_pallas=False):
@@ -101,12 +127,12 @@ def main():
                     y = _resblock1(p[f'resblock_{i}_{j}'], x, dil)
                     xs = y if xs is None else xs + y
                 x = xs / 3
-        return jnp.sum(jnp.abs(x))
+        return jnp.sum(jnp.abs(x.astype(jnp.float32)))
 
     prev = 0.0
     for n in range(5):
-        f = jax.jit(lambda p, m, n=n: prefix(p, m, n))
-        best, _ = timeit(f, params, mel, runs=args.runs)
+        f = jax.jit(lambda p, m, n=n: prefix(p, m, n, use_pallas=lvl_pallas))
+        best, _ = timeit(f, lvl_params, lvl_mel, runs=args.runs)
         print(f'levels 0..{n-1}: cumulative {best*1e3:8.1f} ms '
               f'(delta {(best-prev)*1e3:8.1f} ms)', flush=True)
         prev = best

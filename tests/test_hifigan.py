@@ -1,5 +1,6 @@
 """HiFi-GAN generator parity vs the reference torch implementation
 (reference: src/daft_exprt/vocoder/hifigan.py:125-184)."""
+import jax
 import numpy as np
 import pytest
 import torch
@@ -80,3 +81,25 @@ def test_init_generator_shapes():
     mel = np.zeros((1, 80, 8), dtype=np.float32)
     out = np.asarray(generator_forward(params, mel, SMALL_CONFIG))
     assert out.shape == (1, 1, 8 * 16)
+
+
+def test_conv_transpose_polyphase_matches_dilated():
+    """Polyphase lowering == input-dilated lowering for both V1 levels."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        _conv_transpose1d, _conv_transpose1d_poly)
+    rng = np.random.RandomState(7)
+    for C_in, C_out, k, s in [(16, 8, 16, 8), (16, 8, 4, 2)]:
+        p = (k - s) // 2
+        x = jnp.asarray(rng.randn(2, C_in, 37).astype(np.float32))
+        w = jnp.asarray(rng.randn(C_in, C_out, k).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C_out).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, jnp.flip(jnp.swapaxes(w, 0, 1), axis=-1),
+            window_strides=(1,), padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(s,),
+            dimension_numbers=('NCH', 'OIH', 'NCH')) + b[None, :, None]
+        out = _conv_transpose1d(x, w, b, stride=s, padding=p)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)

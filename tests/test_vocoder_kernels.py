@@ -139,3 +139,30 @@ def test_fused_mrf_ct_bf16():
                                     wb, ks, dils, tile=256,
                                     interpret=True).astype(jnp.float32))
     assert np.abs(out16 - out32).max() < 0.05
+
+
+@pytest.mark.parametrize('C', [32, 64])
+def test_fused_mrf_ct_merged_taps(C):
+    """merge_taps=True (stacked-K matmuls) matches the per-tap form."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import fused_mrf_ct
+    rng = np.random.RandomState(5)
+    ks = (3, 7)
+    dils = ((1, 3, 5), (1, 3, 5))
+    B, T = 2, 512
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    per_tap, merged = [], []
+    for k, d in zip(ks, dils):
+        w1 = jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02)
+        b1 = jnp.asarray(rng.randn(len(d), C, 1).astype(np.float32) * .01)
+        w2 = jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02)
+        b2 = jnp.asarray(rng.randn(len(d), C, 1).astype(np.float32) * .01)
+        per_tap += [w1, b1, w2, b2]
+        m1 = jnp.transpose(w1, (0, 2, 1, 3)).reshape(len(d), C, k * C)
+        m2 = jnp.transpose(w2, (0, 2, 1, 3)).reshape(len(d), C, k * C)
+        merged += [m1, b1, m2, b2]
+    a = np.asarray(fused_mrf_ct(x, per_tap, ks, dils, tile=256,
+                                interpret=True))
+    b = np.asarray(fused_mrf_ct(x, merged, ks, dils, tile=256,
+                                merge_taps=True, interpret=True))
+    assert np.abs(a - b).max() < 1e-5
