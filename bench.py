@@ -22,7 +22,10 @@ def main():
         generator_forward, init_generator_params)
 
     hp, model = _full_size_model()
-    B, L, T = 32, 128, 1024
+    # BENCH_BATCH=1 measures the BASELINE.md batch-1 RTF config; the
+    # default (driver) config is batch 32
+    B = int(os.environ.get('BENCH_BATCH', '32'))
+    L, T = 128, 1024
     batch = _make_batch(hp, B, L, T)
     variables = model.init({'params': jax.random.PRNGKey(0),
                             'dropout': jax.random.PRNGKey(1)},

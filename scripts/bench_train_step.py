@@ -1,0 +1,77 @@
+"""Training-step throughput benchmark (single chip or DP mesh).
+
+The reference logs seconds/iteration during DDP training
+(reference: src/daft_exprt/train.py:458-466) but publishes no numbers.
+This measures our jitted train step (loss with all 5 terms + grads + Adam
+update, grad accumulation via lax.scan) at the reference's full model size.
+
+Usage: python scripts/bench_train_step.py [--batch 16] [--frames 1024]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=16,
+                    help='global batch (per microbatch)')
+    ap.add_argument('--accum', type=int, default=1)
+    ap.add_argument('--symbols', type=int, default=128)
+    ap.add_argument('--frames', type=int, default=1024)
+    ap.add_argument('--runs', type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    from __graft_entry__ import _full_size_model, _make_batch
+    from daft_exprt_tpu.loss import loss_cfg_from_hparams
+    from daft_exprt_tpu.parallel.mesh import make_mesh, shard_batch
+    from daft_exprt_tpu.parallel.train_step import (
+        make_optimizer, make_train_step)
+
+    hp, model = _full_size_model()
+    hp.batch_size = args.batch
+    hp.accumulation_steps = args.accum
+    B = args.batch * args.accum
+    batch = _make_batch(hp, B, args.symbols, args.frames)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           **{k: v[:1] for k, v in batch.items()})
+    params = variables['params']
+    tx = make_optimizer(hp)
+    opt_state = tx.init(params)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    step = make_train_step(model, tx, loss_cfg_from_hparams(hp), None,
+                           mesh=mesh, accumulation_steps=args.accum,
+                           donate=False)
+    raw = {'frames_energy': batch['frames_energy'],
+           'frames_pitch': batch['frames_pitch']}
+    dev_batch = shard_batch(batch, mesh)
+    dev_raw = shard_batch(raw, mesh)
+    print(f'device={jax.devices()[0]} B={B} L={args.symbols} '
+          f'T={args.frames}', flush=True)
+
+    def run(p, o, i):
+        p2, o2, m = step(p, o, dev_batch, dev_raw, np.float32(i),
+                         jax.random.PRNGKey(i))
+        return p2, o2, float(m['loss'])
+
+    params, opt_state, loss = run(params, opt_state, 0)   # compile
+    ts = []
+    for i in range(args.runs):
+        t0 = time.perf_counter()
+        params, opt_state, loss = run(params, opt_state, i + 1)
+        ts.append(time.perf_counter() - t0)
+    best = min(ts)
+    print(f's/it best={best:.4f} all={[round(t, 4) for t in ts]} '
+          f'loss={loss:.3f} '
+          f'utt/s={B / best:.1f}', flush=True)
+
+
+if __name__ == '__main__':
+    main()
