@@ -37,30 +37,107 @@ def _nccf(x, frame_step, win, min_lag, max_lag, n_frames):
     """Normalized cross-correlation per frame and lag.
 
     x: (N,) highpassed signal. Returns (n_frames, n_lags) in [-1, 1].
-    """
-    lags = jnp.arange(min_lag, max_lag + 1)
-    starts = jnp.arange(n_frames) * frame_step
 
-    idx = starts[:, None] + jnp.arange(win)[None, :]          # (F, win)
-    frames0 = x[idx]                                          # (F, win)
+    One (F, win + max_lag + 1) gather of the signal, then the numerators
+    for every lag at once as a depthwise correlation (each frame is its
+    own conv kernel) and the lagged energies from a cumulative sum — no
+    per-lag gathers (the naive form moves n_lags × win × F elements
+    through the gather unit, ~800 MB per utterance at REAPER parameters).
+    """
+    ext_len = win + max_lag + 1
+    starts = jnp.arange(n_frames) * frame_step
+    idx = starts[:, None] + jnp.arange(ext_len)[None, :]
+    ext = x[idx]                                              # (F, ext_len)
+    frames0 = ext[:, :win]                                    # (F, win)
     e0 = jnp.sum(frames0 * frames0, axis=1)                   # (F,)
 
-    def corr_for_lag(lag):
-        shifted = x[idx + lag]                                # (F, win)
-        num = jnp.sum(frames0 * shifted, axis=1)
-        e1 = jnp.sum(shifted * shifted, axis=1)
-        return num / jnp.sqrt(e0 * e1 + 1e-9)
+    # num[f, p] = Σ_w frames0[f, w] · ext[f, w + p],  p ∈ [0, max_lag + 1]
+    num = jax.lax.conv_general_dilated(
+        ext[None, :, :], frames0[:, None, :], window_strides=(1,),
+        padding='VALID', feature_group_count=n_frames,
+        dimension_numbers=('NCH', 'OIH', 'NCH'))[0]           # (F, max_lag+2)
 
-    ncc = jax.vmap(corr_for_lag, out_axes=1)(lags)            # (F, n_lags)
-    return ncc
+    csum = jnp.concatenate(
+        [jnp.zeros((n_frames, 1), x.dtype),
+         jnp.cumsum(ext * ext, axis=1)], axis=1)
+    lags = jnp.arange(min_lag, max_lag + 1)
+    e1 = csum[:, lags + win] - csum[:, lags]                  # (F, n_lags)
+    return num[:, lags] / jnp.sqrt(e0[:, None] * e1 + 1e-9)
+
+
+def _cummin_arg(vals, idxs):
+    """Running (min, argmin-carrier) along the last axis; associative."""
+    def op(a, b):
+        va, ia = a
+        vb, ib = b
+        take_a = va <= vb
+        return jnp.where(take_a, va, vb), jnp.where(take_a, ia, ib)
+    return jax.lax.associative_scan(op, (vals, idxs), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=('n_lags',))
-def _viterbi(ncc, trans_cost, uv_cost, n_lags):
+def _viterbi(ncc, log_lags, uv_cost, n_lags):
+    """Viterbi over (n_lags + 1) states (last = unvoiced) with the
+    |log lag ratio| voiced transition cost, in O(n_lags) per frame.
+
+    min_i(prev[i] + |u_j - u_i|) is a 1D lower envelope: split on i ≤ j /
+    i ≥ j and each side is a running min of (prev ∓ u) — two cummins
+    replace the dense (S, S) min-plus step (exact, not an approximation).
+    ncc: (F, n_lags); log_lags: (n_lags,). Returns best states (F,).
+    """
+    F = ncc.shape[0]
+    u = log_lags
+    local_v = 1.0 - ncc                                   # (F, n_lags)
+    switch = jnp.asarray(uv_cost, dtype=ncc.dtype)
+    idx0 = jnp.arange(n_lags)
+
+    def step(carry, local_t):
+        prev_v, prev_uv = carry
+        # lower envelope of prev_v under |u_j - u_i|
+        fwd_v, fwd_i = _cummin_arg(prev_v - u, idx0)
+        fwd = fwd_v + u                                   # best i ≤ j
+        bwd_v, bwd_i = _cummin_arg((prev_v + u)[::-1], idx0[::-1])
+        bwd = bwd_v[::-1] - u                             # best i ≥ j
+        env = jnp.minimum(fwd, bwd)
+        env_i = jnp.where(fwd <= bwd, fwd_i, bwd_i[::-1])
+        # from unvoiced
+        from_uv = prev_uv + switch
+        new_v = jnp.minimum(env, from_uv) + local_t
+        bp_v = jnp.where(env <= from_uv, env_i, n_lags).astype(jnp.int32)
+        # unvoiced state
+        best_v_idx = jnp.argmin(prev_v)
+        enter = prev_v[best_v_idx] + switch
+        stay = prev_uv
+        new_uv = jnp.minimum(stay, enter) + uv_cost
+        bp_uv = jnp.where(stay <= enter, n_lags,
+                          best_v_idx).astype(jnp.int32)
+        return (new_v, new_uv), (bp_v, bp_uv)
+
+    init = (local_v[0], jnp.asarray(uv_cost, ncc.dtype))
+    (final_v, final_uv), (bps_v, bps_uv) = jax.lax.scan(
+        step, init, local_v[1:])
+    backptrs = jnp.concatenate([bps_v, bps_uv[:, None]], axis=1)  # (F-1, S)
+
+    last = jnp.where(jnp.min(final_v) <= final_uv,
+                     jnp.argmin(final_v), n_lags)
+
+    def backtrack(carry, bp):
+        state = carry
+        prev = bp[state]
+        return prev, state
+
+    _, states_rev = jax.lax.scan(backtrack, last, backptrs, reverse=True)
+    states = jnp.concatenate([states_rev, last[None]])
+    return states
+
+
+@functools.partial(jax.jit, static_argnames=('n_lags',))
+def _viterbi_dense(ncc, trans_cost, uv_cost, n_lags):
     """Dense Viterbi over (n_lags + 1) states; state n_lags = unvoiced.
 
-    ncc: (F, n_lags) candidate scores. trans_cost: (n_lags, n_lags)
-    log-pitch-ratio costs. Returns best state sequence (F,).
+    Reference implementation (O(S²) per frame) used to validate the
+    envelope form. ncc: (F, n_lags) candidate scores. trans_cost:
+    (n_lags, n_lags) log-pitch-ratio costs. Returns best states (F,).
     """
     F = ncc.shape[0]
     # local cost: voiced state s: 1 - ncc[s] + octave penalty; uv: uv_cost.
@@ -115,6 +192,7 @@ class PitchTracker:
         self.hp = jnp.asarray(_highpass_fir(self.sr))
         # voiced→voiced transition cost: |log(lag1/lag2)| octave-jump penalty
         lags = np.arange(self.min_lag, self.max_lag + 1, dtype=np.float64)
+        self.log_lags = jnp.asarray(np.log(lags), dtype=jnp.float32)
         self.trans_cost = jnp.asarray(
             np.abs(np.log(lags[:, None] / lags[None, :])), dtype=jnp.float32)
         self.n_lags = self.max_lag - self.min_lag + 1
@@ -123,26 +201,49 @@ class PitchTracker:
         self.octave_cost = jnp.asarray(
             0.02 * np.log2(lags / self.min_lag), dtype=jnp.float32)
 
+    def _pipeline(self, x, n_frames):
+        """(N,) highpassed signal → (n_frames,) F0 Hz. Pure jnp."""
+        ncc = _nccf(x, self.frame_step, self.win, self.min_lag, self.max_lag,
+                    n_frames)
+        ncc = ncc - self.octave_cost[None, :]
+        states = _viterbi(ncc, self.log_lags,
+                          jnp.float32(self.uv_cost), self.n_lags)
+        lags = jnp.arange(self.min_lag, self.max_lag + 1)
+        return jnp.where(states < self.n_lags,
+                         self.sr / lags[jnp.clip(states, 0,
+                                                 self.n_lags - 1)],
+                         0.0)
+
+    def _prepare(self, wavs):
+        """(B, N) → highpassed + padded (B, N'), n_frames."""
+        n = wavs.shape[-1]
+        x = jax.vmap(lambda w: jnp.convolve(w, self.hp, mode='same'))(wavs)
+        pad_needed = self.win + self.max_lag + 1
+        n_frames = max(1, int(n // self.frame_step))
+        total = (n_frames - 1) * self.frame_step + pad_needed
+        if total > n:
+            x = jnp.pad(x, ((0, 0), (0, total - n)))
+        return x, n_frames
+
+    def batched_frame_f0(self, wavs):
+        """wavs: (B, N) float32 → (B, n_frames) F0 Hz jnp array; the whole
+        batch runs in one jit-compiled program on device (use this for
+        throughput; ``frame_f0`` is the single-utterance convenience)."""
+        wavs = jnp.asarray(wavs, dtype=jnp.float32)
+        if not hasattr(self, '_batched_jit'):
+            self._batched_jit = jax.jit(
+                lambda w, n: jax.vmap(
+                    lambda xi: self._pipeline(xi, n))(self._prepare(w)[0]),
+                static_argnums=1)
+        n_frames = max(1, int(wavs.shape[-1] // self.frame_step))
+        return self._batched_jit(wavs, n_frames)
+
     def frame_f0(self, wav):
         """wav: (N,) float32 → (n_frames,) F0 Hz (0 = unvoiced), one value
         per f0_interval."""
         wav = jnp.asarray(wav, dtype=jnp.float32)
-        x = jnp.convolve(wav, self.hp, mode='same')
-        pad_needed = self.win + self.max_lag + 1
-        n_frames = max(1, int(len(wav) // self.frame_step))
-        total = (n_frames - 1) * self.frame_step + pad_needed
-        if total > x.shape[0]:
-            x = jnp.pad(x, (0, total - x.shape[0]))
-        ncc = _nccf(x, self.frame_step, self.win, self.min_lag, self.max_lag,
-                    n_frames)
-        ncc = ncc - self.octave_cost[None, :]
-        states = _viterbi(ncc, self.trans_cost,
-                          jnp.float32(self.uv_cost), self.n_lags)
-        lags = jnp.arange(self.min_lag, self.max_lag + 1)
-        f0 = jnp.where(states < self.n_lags,
-                       self.sr / lags[jnp.clip(states, 0, self.n_lags - 1)],
-                       0.0)
-        return np.asarray(f0)
+        x, n_frames = self._prepare(wav[None, :])
+        return np.asarray(self._pipeline(x[0], n_frames))
 
     def per_sample_f0(self, wav):
         """Binary-protocol output: per-sample int-valued F0 in Hz, -1 when

@@ -129,3 +129,45 @@ def test_against_reference_binary(f0):
     assert agreement > 0.85, f'voicing agreement {agreement}'
     rel = np.abs(ours[both_voiced] - ref[both_voiced]) / ref[both_voiced]
     assert np.median(rel) < 0.05
+
+
+def test_batched_frame_f0_matches_single():
+    from daft_exprt_tpu.ops.pitch import PitchTracker
+    from daft_exprt_tpu.hparams import HyperParams
+    hp = HyperParams(verbose=False, training_files='x', validation_files='x',
+                     output_directory='/tmp/pt', language='english',
+                     speakers=['s'])
+    tr = PitchTracker(hp)
+    rng = np.random.RandomState(11)
+    sr = hp.sampling_rate
+    t = np.arange(int(0.5 * sr)) / sr
+    wavs = np.stack([
+        (0.5 * np.sin(2 * np.pi * 120 * t)).astype(np.float32),
+        (0.4 * np.sin(2 * np.pi * 220 * t)
+         + 0.01 * rng.randn(len(t))).astype(np.float32),
+    ])
+    batched = np.asarray(tr.batched_frame_f0(wavs))
+    for i in range(2):
+        single = tr.frame_f0(wavs[i])
+        assert batched[i].shape == single.shape
+        # identical pipeline, identical results
+        np.testing.assert_allclose(batched[i], single, atol=1e-3)
+
+
+def test_viterbi_envelope_matches_dense():
+    """The O(S) lower-envelope Viterbi equals the dense O(S^2) version."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.pitch import _viterbi, _viterbi_dense
+    rng = np.random.RandomState(3)
+    n_lags, F = 37, 60
+    lags = np.arange(20, 20 + n_lags).astype(np.float64)
+    log_lags = jnp.asarray(np.log(lags), jnp.float32)
+    trans = jnp.asarray(np.abs(np.log(lags[:, None] / lags[None, :])),
+                        jnp.float32)
+    ncc = jnp.asarray(rng.uniform(-0.5, 1.0, (F, n_lags)).astype(np.float32))
+    uv = jnp.float32(0.9)
+    a = np.asarray(_viterbi(ncc, log_lags, uv, n_lags))
+    b = np.asarray(_viterbi_dense(ncc, trans, uv, n_lags))
+    # optimal paths may differ only where costs tie exactly; with random
+    # continuous scores they should be identical
+    np.testing.assert_array_equal(a, b)
