@@ -1,0 +1,51 @@
+"""Vocoder GAN fine-tuning step benchmark (MPD+MSD D-step + G-step).
+
+Measures the two jitted optimization steps of the HiFi-GAN fine-tuning
+pipeline (reference trains these in torch: src/daft_exprt/vocoder/
+finetune_hifigan.py:215-243) at the reference's segment size.
+
+Usage: python scripts/bench_gan_step.py
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+from daft_exprt_tpu.vocoder_finetune import (
+    make_gan_steps, generator_to_weight_norm, SEGMENT_SIZE)
+from daft_exprt_tpu.models.hifigan import init_generator_params
+from daft_exprt_tpu.models.discriminators import init_mpd_params, init_msd_params
+
+B = 16
+rng = np.random.RandomState(0)
+mel = jnp.asarray(rng.randn(B, 80, SEGMENT_SIZE // 256).astype(np.float32))
+y = jnp.asarray(0.1 * rng.randn(B, 1, SEGMENT_SIZE).astype(np.float32))
+y_mel = jnp.asarray(rng.randn(B, 80, SEGMENT_SIZE // 256).astype(np.float32))
+
+g = generator_to_weight_norm(init_generator_params(jax.random.PRNGKey(0)))
+msd, sn = init_msd_params(jax.random.PRNGKey(1))
+d = {"mpd": init_mpd_params(jax.random.PRNGKey(2)), "msd": msd}
+d_step, g_step, (optim_g, optim_d), _ = make_gan_steps()
+g_opt = optim_g.init(g)
+d_opt = optim_d.init(d)
+print('device', jax.devices()[0], 'B', B, 'seg', SEGMENT_SIZE, flush=True)
+
+def one_iter(d, d_opt, sn, g, g_opt, i):
+    d, d_opt, sn, d_loss = d_step(d, d_opt, sn, g, mel, y)
+    g, g_opt, g_loss, mel_err = g_step(g, g_opt, d, sn, mel, y, y_mel)
+    return d, d_opt, sn, g, g_opt, float(d_loss), float(g_loss)
+
+out = one_iter(d, d_opt, sn, g, g_opt, 0)   # compile
+d, d_opt, sn, g, g_opt = out[:5]
+ts = []
+for i in range(3):
+    t0 = time.perf_counter()
+    out = one_iter(d, d_opt, sn, g, g_opt, i + 1)
+    d, d_opt, sn, g, g_opt = out[:5]
+    ts.append(time.perf_counter() - t0)
+print('GAN D+G step: best %.1f ms all %s d_loss %.3f g_loss %.3f' %
+      (min(ts)*1e3, [round(t*1e3,1) for t in ts], out[5], out[6]), flush=True)

@@ -39,6 +39,8 @@ def main():
                     help='comma-separated subset of configs to run')
     ap.add_argument('--check', action='store_true',
                     help='validate pallas vs XLA numerics on-device first')
+    ap.add_argument('--tile', type=int, default=8192,
+                    help='pallas_tile for the pallas configs')
     args = ap.parse_args()
 
     import jax
@@ -82,8 +84,8 @@ def main():
     for name, dtype, up, tile in [
             ('xla-f32', jnp.float32, False, 0),
             ('xla-bf16', jnp.bfloat16, False, 0),
-            ('pallas-f32', jnp.float32, True, 8192),
-            ('pallas-bf16', jnp.bfloat16, True, 8192),
+            ('pallas-f32', jnp.float32, True, args.tile),
+            ('pallas-bf16', jnp.bfloat16, True, args.tile),
     ]:
         if name not in wanted:
             continue
