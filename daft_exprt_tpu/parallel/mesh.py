@@ -39,7 +39,42 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh, data_axis='data'):
-    """Device-put a host batch dict with the batch axis sharded."""
+    """Shard a host batch dict along the batch axis of the mesh.
+
+    Single-process: a plain sharded device_put. Multi-process
+    (``jax.distributed.initialize``): each host passes its *local* shard
+    (the per-host slice the data iterator yields, reference
+    DistributedSampler semantics) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the local leading dim
+    times process_count gives the global batch.
+    """
     sharding = batch_sharding(mesh, data_axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    # derive multi-process-ness from the mesh itself: jax.process_count()
+    # reports the *default* backend, which can differ from the mesh's
+    # (e.g. the axon TPU plugin registers itself even when the mesh spans
+    # a distributed CPU client)
+    n_proc = len({d.process_index for d in mesh.devices.flat})
+    if n_proc == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        # assemble the global array from this host's local shard via the
+        # low-level API: make_array_from_process_local_data consults
+        # jax.process_count() (the default backend — wrong when another
+        # platform plugin is registered), this path consults only the mesh
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        idx_map = sharding.addressable_devices_indices_map(global_shape)
+        starts = [(sl[0].start or 0) for sl in idx_map.values()]
+        base = min(starts)          # this host's global row offset
+        arrays = []
+        for d, sl in idx_map.items():
+            s0 = sl[0]
+            lo = (s0.start or 0) - base
+            hi = (global_shape[0] if s0.stop is None else s0.stop) - base
+            arrays.append(jax.device_put(x[lo:hi], d))
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, arrays)
+
+    return jax.tree_util.tree_map(put, batch)

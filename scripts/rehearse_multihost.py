@@ -1,0 +1,152 @@
+"""Multi-host training rehearsal: 2 real OS processes over jax.distributed.
+
+Validates the BASELINE multi-host configuration end-to-end without a pod
+slice: two processes rendezvous through ``jax.distributed.initialize`` on
+localhost (replacing the reference's TCP/NCCL rendezvous,
+reference: src/daft_exprt/train.py:224-227), each exposing 4 virtual CPU
+devices, forming one global 8-device data-parallel mesh. Each host feeds
+its local half of the global batch (DistributedSampler semantics), the
+jitted train step reduces gradients through XLA collectives, and both
+hosts must report bit-identical global losses.
+
+Usage: python scripts/rehearse_multihost.py            # parent: spawns 2 workers
+       python scripts/rehearse_multihost.py --worker I # internal
+"""
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PROC = 2
+DEV_PER_PROC = 2
+PORT = int(os.environ.get('REHEARSE_PORT', '0')) or None
+STEPS = 2
+
+
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+def worker(pid):
+    if os.environ.get('REHEARSE_HANG_DEBUG'):
+        import faulthandler
+        faulthandler.dump_traceback_later(
+            int(os.environ['REHEARSE_HANG_DEBUG']), exit=True)
+    import jax
+    # CPU multi-process collectives need the gloo implementation
+    jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+    jax.distributed.initialize(coordinator_address=f'localhost:{PORT}',
+                               num_processes=N_PROC, process_id=pid)
+    import numpy as np
+    from __graft_entry__ import _make_batch
+    from daft_exprt_tpu.hparams import HyperParams
+    from daft_exprt_tpu.loss import loss_cfg_from_hparams
+    from daft_exprt_tpu.models.daft_exprt import DaftExprt
+    from daft_exprt_tpu.parallel.mesh import make_mesh, shard_batch
+    from daft_exprt_tpu.parallel.train_step import (
+        make_optimizer, make_train_step)
+
+    # NOTE: jax.process_count() reports the default backend, which the
+    # axon TPU plugin claims even under JAX_PLATFORMS=cpu — count the
+    # distributed CPU client's processes from its devices instead
+    cpus = jax.devices('cpu')
+    n_global = len(cpus)
+    n_proc = len({d.process_index for d in cpus})
+    assert (n_global, n_proc) == (N_PROC * DEV_PER_PROC, N_PROC), \
+        (n_global, n_proc)
+    # pin init/PRNG to the local CPU — otherwise they run on whatever
+    # default backend is registered (the axon TPU plugin on this image,
+    # reached through a tunnel both workers would contend on)
+    local_cpus = [d for d in cpus if d.process_index == pid]
+    jax.config.update('jax_default_device', local_cpus[0])
+
+    small = {'nb_blocks': 2, 'hidden_embed_dim': 32, 'attn_nb_heads': 2,
+             'attn_dropout': 0.1, 'conv_kernel': 3, 'conv_channels': 64,
+             'conv_dropout': 0.1}
+    hp = HyperParams(
+        verbose=False, training_files='unused', validation_files='unused',
+        output_directory='/tmp/rehearse', language='english',
+        speakers=['lj'], phoneme_encoder=dict(small),
+        accent_encoder=dict(small), frame_decoder=dict(small),
+        batch_size=n_global, accumulation_steps=1)
+    model = DaftExprt.from_hparams(hp)
+    mesh = make_mesh(n_data=n_global, n_model=1, devices=cpus)
+
+    B_global, L, T = n_global, 16, 64
+    B_local = B_global // N_PROC
+    # deterministic global batch; each host slices out its own half
+    global_batch = _make_batch(hp, B_global, L, T, seed=0)
+    local = {k: v[pid * B_local:(pid + 1) * B_local]
+             for k, v in global_batch.items()}
+    raw_local = {'frames_energy': local['frames_energy'],
+                 'frames_pitch': local['frames_pitch']}
+
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)},
+                           **{k: v[:1] for k, v in global_batch.items()})
+    params = variables['params']
+    tx = make_optimizer(hp)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, loss_cfg_from_hparams(hp), None,
+                           mesh=mesh, accumulation_steps=1, donate=False)
+
+    dev_batch = shard_batch(local, mesh)
+    dev_raw = shard_batch(raw_local, mesh)
+    for it in range(STEPS):
+        params, opt_state, metrics = step(
+            params, opt_state, dev_batch, dev_raw, np.float32(it),
+            jax.random.PRNGKey(it))
+        loss = float(metrics['loss'])
+        print(f'WORKER {pid} step {it} loss {loss:.10f}', flush=True)
+    jax.distributed.shutdown()
+
+
+def parent():
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['REHEARSE_PORT'] = str(PORT or _free_port())
+    env['XLA_FLAGS'] = (f'--xla_force_host_platform_device_count'
+                        f'={DEV_PER_PROC}')
+    procs = [subprocess.Popen(
+        [sys.executable, '-u', os.path.abspath(__file__), '--worker', str(i)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(N_PROC)]
+    try:
+        outs = [p.communicate(timeout=540)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    codes = [p.returncode for p in procs]
+    losses = {}
+    for i, out in enumerate(outs):
+        for m in re.finditer(r'WORKER (\d+) step (\d+) loss ([\d.eE+-]+)',
+                             out):
+            losses[(int(m.group(2)), int(m.group(1)))] = m.group(3)
+        if codes[i] != 0:
+            print(f'--- worker {i} output ---\n{out}')
+    assert codes == [0] * N_PROC, f'worker exit codes {codes}'
+    for step_i in range(STEPS):
+        vals = {losses.get((step_i, p)) for p in range(N_PROC)}
+        assert len(vals) == 1 and None not in vals, \
+            f'step {step_i}: hosts disagree: {vals}'
+    print(f'multi-host rehearsal OK: {N_PROC} processes x {DEV_PER_PROC} '
+          f'devices, {STEPS} steps, losses identical across hosts: '
+          f'{[losses[(s, 0)] for s in range(STEPS)]}')
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--worker', type=int, default=None)
+    args = ap.parse_args()
+    if args.worker is None:
+        parent()
+    else:
+        worker(args.worker)
