@@ -83,8 +83,19 @@ def main():
         out['spk_embs'] = b['spk_embs'] + np.float32(i * 1e-3)
         return out
 
-    # warmup / compile (fetch forces completion)
-    float(pipeline(params, voc_params, batch))
+    # warmup / compile (fetch forces completion). If the Pallas path fails
+    # to compile on this worker (tunnel flake), fall back to the XLA bf16
+    # path rather than recording nothing.
+    try:
+        float(pipeline(params, voc_params, batch))
+    except Exception as exc:                          # pragma: no cover
+        if not use_pallas:
+            raise
+        print(f'# pallas path failed ({type(exc).__name__}), '
+              f'falling back to XLA', file=sys.stderr)
+        use_pallas = False
+        pipeline = jax.jit(pipeline.__wrapped__)
+        float(pipeline(params, voc_params, batch))
 
     runs = 5
     # issue all runs back-to-back (distinct inputs each) and synchronize
