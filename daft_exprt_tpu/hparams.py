@@ -140,6 +140,11 @@ class HyperParams:
 
         # ---- TPU execution ----
         self.compute_dtype = 'bfloat16'     # activations dtype under jit
+        # dropout-mask PRNG: 'rbg' uses the TPU-native XLA RngBitGenerator
+        # (threefry mask generation alone costs ~60% of a train step at
+        # B=16/T=1024 — measured 54.3 -> 29.6 ms/it). '' keeps the JAX
+        # default (threefry2x32).
+        self.prng_impl = 'rbg'
         self.mesh_data_axis = 'data'        # DP axis name
         self.mesh_model_axis = 'model'      # optional TP axis (vocoder)
         self.length_buckets = [64, 128, 192, 256, 384, 512]       # symbol axis

@@ -95,6 +95,11 @@ def make_train_step(model, tx, loss_cfg: Dict[str, float],
                             pitch_predictor)
 
     def step(params, opt_state, batch, raw_frames, iteration, rng):
+        # fold the iteration into the key HERE, where iteration is traced:
+        # host-side fold_in on an rbg typed key bakes the data operand into
+        # the executable and recompiles (+~0.8 s) every iteration on the
+        # axon tunnel. Callers pass the same base key every step.
+        rng = jax.random.fold_in(rng, jnp.asarray(iteration, jnp.int32))
         grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
 
         if accumulation_steps > 1:

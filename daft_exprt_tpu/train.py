@@ -162,7 +162,10 @@ def train(hparams, num_iterations=None, mesh=None, log_every=1,
     refresh_interval = getattr(hparams, 'stats_refresh_interval', 100)
     tb = DaftExprtLogger(os.path.join(hparams.output_directory, 'logs')) \
         if is_chief else None
-    base_rng = jax.random.PRNGKey(hparams.seed)
+    # typed key so the impl choice is scoped to dropout draws (params init
+    # above keeps the default impl — same init numerics as before)
+    base_rng = jax.random.key(hparams.seed,
+                              impl=getattr(hparams, 'prng_impl', '') or None)
 
     num_iterations = num_iterations or hparams.nb_iterations
     epochs = max(1, math.ceil((num_iterations - iteration)
@@ -180,12 +183,14 @@ def train(hparams, num_iterations=None, mesh=None, log_every=1,
             norm_batch = stats_manager.process_batch(batch)
             raw_frames = {'frames_energy': batch['frames_energy'],
                           'frames_pitch': batch['frames_pitch']}
-            rng = jax.random.fold_in(base_rng, iteration)
             dev_batch = shard_batch(norm_batch, mesh, hparams.mesh_data_axis)
             dev_raw = shard_batch(raw_frames, mesh, hparams.mesh_data_axis)
+            # the step folds the iteration into the key internally (see
+            # make_train_step) — same base key object every call, no
+            # per-step host-side key computation
             params, opt_state, metrics = train_step(
                 params, opt_state, dev_batch, dev_raw,
-                np.float32(iteration), rng)
+                np.float32(iteration), base_rng)
             iteration += 1
 
             if is_chief and iteration % log_every == 0:

@@ -24,7 +24,11 @@ def main():
     ap.add_argument('--accum', type=int, default=1)
     ap.add_argument('--symbols', type=int, default=128)
     ap.add_argument('--frames', type=int, default=1024)
-    ap.add_argument('--runs', type=int, default=3)
+    ap.add_argument('--runs', type=int, default=10)
+    ap.add_argument('--prng', default=None,
+                    help="dropout PRNG impl; default: hparams.prng_impl "
+                         "('rbg' — the threefry default costs ~25 ms/it "
+                         "extra in mask generation at B=16/T=1024)")
     args = ap.parse_args()
 
     import jax
@@ -53,24 +57,33 @@ def main():
            'frames_pitch': batch['frames_pitch']}
     dev_batch = shard_batch(batch, mesh)
     dev_raw = shard_batch(raw, mesh)
+    impl = (args.prng if args.prng is not None
+            else getattr(hp, 'prng_impl', '')) or None
+    base_rng = jax.random.key(hp.seed, impl=impl)
     print(f'device={jax.devices()[0]} B={B} L={args.symbols} '
-          f'T={args.frames}', flush=True)
+          f'T={args.frames} prng={impl or "default"}', flush=True)
 
-    def run(p, o, i):
-        p2, o2, m = step(p, o, dev_batch, dev_raw, np.float32(i),
-                         jax.random.PRNGKey(i))
-        return p2, o2, float(m['loss'])
+    # compile + full sync
+    p, o, m = step(params, opt_state, dev_batch, dev_raw, np.float32(0),
+                   base_rng)
+    _ = float(m['loss'])
 
-    params, opt_state, loss = run(params, opt_state, 0)   # compile
-    ts = []
-    for i in range(args.runs):
+    # chained dispatch: steps serialize on the params dependency; a single
+    # final fetch synchronizes (a per-step fetch would charge the ~25 ms
+    # axon tunnel round-trip to every iteration — a real training loop
+    # fetches metrics every log_every iterations, not every step)
+    reps = []
+    for rep in range(3):
         t0 = time.perf_counter()
-        params, opt_state, loss = run(params, opt_state, i + 1)
-        ts.append(time.perf_counter() - t0)
-    best = min(ts)
-    print(f's/it best={best:.4f} all={[round(t, 4) for t in ts]} '
-          f'loss={loss:.3f} '
-          f'utt/s={B / best:.1f}', flush=True)
+        for i in range(args.runs):
+            p, o, m = step(p, o, dev_batch, dev_raw, np.float32(i + 1),
+                           base_rng)
+        loss = float(m['loss'])
+        reps.append((time.perf_counter() - t0) / args.runs)
+    per = reps[-1]
+    print(f'reps s/it: {[round(r, 4) for r in reps]}', flush=True)
+    print(f's/it={per:.4f} (chained x{args.runs}) loss={loss:.3f} '
+          f'utt/s={B / per:.1f}', flush=True)
 
 
 if __name__ == '__main__':
