@@ -145,6 +145,10 @@ class HyperParams:
         # B=16/T=1024 — measured 54.3 -> 29.6 ms/it). '' keeps the JAX
         # default (threefry2x32).
         self.prng_impl = 'rbg'
+        # pallas whole-row attention kernel for the FFT blocks: 'auto'
+        # enables it when running on TPU (tests pinned to CPU keep the XLA
+        # path); True/False force. Env DAFT_FUSED_ATTN overrides 'auto'.
+        self.fused_attention = 'auto'
         self.mesh_data_axis = 'data'        # DP axis name
         self.mesh_model_axis = 'model'      # optional TP axis (vocoder)
         self.length_buckets = [64, 128, 192, 256, 384, 512]       # symbol axis

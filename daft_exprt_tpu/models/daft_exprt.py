@@ -79,6 +79,7 @@ def _fft_block_kwargs(cfg: Dict[str, Any], embed_dim=None, strict=True,
         conv_dropout=cfg['conv_dropout'],
         strict_masking=strict,
         dtype=dtype,
+        fused_attention=cfg.get('fused_attention', False),
     )
 
 
@@ -322,14 +323,23 @@ class DaftExprt(nn.Module):
     @classmethod
     def from_hparams(cls, hp):
         gum = dict(hp.gaussian_upsampling_module)
+        fused = getattr(hp, 'fused_attention', 'auto')
+        if fused == 'auto':
+            from daft_exprt_tpu.models.modules import fused_attention_available
+            fused = fused_attention_available()
+        enc_cfg, acc_cfg, dec_cfg = (dict(hp.phoneme_encoder),
+                                     dict(hp.accent_encoder),
+                                     dict(hp.frame_decoder))
+        for cfg in (enc_cfg, acc_cfg, dec_cfg):
+            cfg['fused_attention'] = bool(fused)
         return cls(
             compute_dtype=getattr(hp, 'compute_dtype', 'float32'),
             n_symbols=hp.n_symbols,
             n_speakers=hp.n_speakers,
             n_mel_channels=hp.n_mel_channels,
-            phoneme_encoder_cfg=dict(hp.phoneme_encoder),
-            accent_encoder_cfg=dict(hp.accent_encoder),
-            frame_decoder_cfg=dict(hp.frame_decoder),
+            phoneme_encoder_cfg=enc_cfg,
+            accent_encoder_cfg=acc_cfg,
+            frame_decoder_cfg=dec_cfg,
             gum_conv_kernel=gum.get('conv_kernel', 3),
             gum_use_concatenation=gum.get('use_concatenation', False),
             external_emb_dim=getattr(hp, 'external_emb_dim', 192),

@@ -10,11 +10,40 @@ the contractions onto the MXU.
 Parameter layouts intentionally mirror the PyTorch modules one-to-one so the
 reference checkpoints convert mechanically (see checkpoint.py).
 """
+import os
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from daft_exprt_tpu.ops.attention_kernels import fused_attention
+
+def _fused_interpret() -> bool:
+    """DAFT_FUSED_ATTN_INTERPRET=1 runs the fused-attention kernel in
+    pallas interpret mode (CPU tests of the integrated path). Read at
+    trace time so tests can toggle it."""
+    return os.environ.get('DAFT_FUSED_ATTN_INTERPRET') == '1'
+
+
+def fused_attention_available() -> bool:
+    """True when the pallas fused-attention kernel should be the default:
+    a TPU backend is present and the configured default device (if any) is
+    not pinned elsewhere (tests pin CPU). Env DAFT_FUSED_ATTN=0/1
+    overrides."""
+    env = os.environ.get('DAFT_FUSED_ATTN')
+    if env in ('0', '1'):
+        return env == '1'
+    if _fused_interpret():
+        return True
+    default = jax.config.jax_default_device
+    if default is not None and default.platform not in ('tpu', 'axon'):
+        return False
+    try:
+        return any(d.platform in ('tpu', 'axon') for d in jax.devices())
+    except RuntimeError:
+        return False
 
 
 def sequence_mask(lengths, max_len):
@@ -75,6 +104,10 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     dropout: float
     dtype: Any = jnp.float32
+    # pallas whole-row attention kernel: one VMEM pass per (batch, head,
+    # q-block) instead of (B, h, T, T) HBM materializations; dropout mask
+    # generated in-kernel and regenerated in the custom VJP
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, valid_mask, deterministic=True):
@@ -89,14 +122,26 @@ class MultiHeadSelfAttention(nn.Module):
             return t.reshape(b, l, h, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split_heads(q) * scale, split_heads(k), split_heads(v)
-        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                            preferred_element_type=jnp.float32)
-        neg = jnp.asarray(-1e9, dtype=logits.dtype)
-        logits = jnp.where(valid_mask[:, None, None, :], logits, neg)
-        weights = nn.softmax(logits, axis=-1)
-        weights = nn.Dropout(self.dropout, name='attn_drop')(
-            weights, deterministic=deterministic)
-        out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(v.dtype), v)
+        if self.fused:
+            lengths = jnp.sum(valid_mask, axis=1, dtype=jnp.int32)
+            if deterministic or self.dropout == 0.0:
+                seed, p = jnp.int32(0), 0.0
+            else:
+                bits = jax.random.bits(self.make_rng('dropout'), (),
+                                       jnp.uint32)
+                seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
+                p = float(self.dropout)
+            out = fused_attention(q, k, v, lengths, seed, p,
+                                  _fused_interpret())
+        else:
+            logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                                preferred_element_type=jnp.float32)
+            neg = jnp.asarray(-1e9, dtype=logits.dtype)
+            logits = jnp.where(valid_mask[:, None, None, :], logits, neg)
+            weights = nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(self.dropout, name='attn_drop')(
+                weights, deterministic=deterministic)
+            out = jnp.einsum('bhqk,bhkd->bhqd', weights.astype(v.dtype), v)
         b, _, l, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         out = nn.Dense(d, dtype=self.dtype, name='out_proj')(out)
@@ -155,12 +200,14 @@ class FFTBlock(nn.Module):
     conv_dropout: float
     strict_masking: bool = True
     dtype: Any = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, film_params, valid_mask, deterministic=True):
         y = MultiHeadSelfAttention(
             self.embed_dim, self.num_heads, self.attn_dropout,
-            dtype=self.dtype, name='attention')(x, valid_mask, deterministic)
+            dtype=self.dtype, fused=self.fused_attention,
+            name='attention')(x, valid_mask, deterministic)
         y = jnp.where(valid_mask[..., None], y, 0.0)
         y = PositionWiseConvFF(
             self.embed_dim, self.conv_channels, self.conv_kernel,

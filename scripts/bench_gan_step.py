@@ -34,18 +34,26 @@ g_opt = optim_g.init(g)
 d_opt = optim_d.init(d)
 print('device', jax.devices()[0], 'B', B, 'seg', SEGMENT_SIZE, flush=True)
 
-def one_iter(d, d_opt, sn, g, g_opt, i):
+def one_iter(d, d_opt, sn, g, g_opt):
     d, d_opt, sn, d_loss = d_step(d, d_opt, sn, g, mel, y)
     g, g_opt, g_loss, mel_err = g_step(g, g_opt, d, sn, mel, y, y_mel)
-    return d, d_opt, sn, g, g_opt, float(d_loss), float(g_loss)
+    return d, d_opt, sn, g, g_opt, d_loss, g_loss
 
-out = one_iter(d, d_opt, sn, g, g_opt, 0)   # compile
+out = one_iter(d, d_opt, sn, g, g_opt)      # compile
 d, d_opt, sn, g, g_opt = out[:5]
-ts = []
-for i in range(3):
+_ = float(out[5]) + float(out[6])           # sync
+
+# chained dispatch, one fetch per rep (a per-step loss fetch charges the
+# ~25 ms axon tunnel round-trip twice per iteration); 3 reps because the
+# first timed loop of a fresh executable can absorb one-time server-side
+# warm-up — trust the last
+runs = 5
+for rep in range(3):
     t0 = time.perf_counter()
-    out = one_iter(d, d_opt, sn, g, g_opt, i + 1)
-    d, d_opt, sn, g, g_opt = out[:5]
-    ts.append(time.perf_counter() - t0)
-print('GAN D+G step: best %.1f ms all %s d_loss %.3f g_loss %.3f' %
-      (min(ts)*1e3, [round(t*1e3,1) for t in ts], out[5], out[6]), flush=True)
+    for i in range(runs):
+        out = one_iter(d, d_opt, sn, g, g_opt)
+        d, d_opt, sn, g, g_opt = out[:5]
+    d_loss, g_loss = float(out[5]), float(out[6])
+    per = (time.perf_counter() - t0) / runs
+    print('GAN D+G step rep%d: %.1f ms/it d_loss %.3f g_loss %.3f' %
+          (rep, per * 1e3, d_loss, g_loss), flush=True)

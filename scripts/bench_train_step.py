@@ -29,6 +29,9 @@ def main():
                     help="dropout PRNG impl; default: hparams.prng_impl "
                          "('rbg' — the threefry default costs ~25 ms/it "
                          "extra in mask generation at B=16/T=1024)")
+    ap.add_argument('--fused-attn', type=int, default=None, choices=(0, 1),
+                    help='1: pallas whole-row attention kernel; '
+                         '0: XLA path; default: hparams auto (on for TPU)')
     args = ap.parse_args()
 
     import jax
@@ -38,7 +41,9 @@ def main():
     from daft_exprt_tpu.parallel.train_step import (
         make_optimizer, make_train_step)
 
-    hp, model = _full_size_model()
+    hp, model = _full_size_model(
+        fused_attention='auto' if args.fused_attn is None
+        else bool(args.fused_attn))
     hp.batch_size = args.batch
     hp.accumulation_steps = args.accum
     B = args.batch * args.accum

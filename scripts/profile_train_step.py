@@ -35,6 +35,13 @@ def main():
                          'accent-encoder FFT stack)')
     ap.add_argument('--no-dropout', action='store_true',
                     help='deterministic forward (isolates dropout-RNG cost)')
+    ap.add_argument('--no-attn-dropout', action='store_true',
+                    help='zero attention-weight dropout rate (the (B,h,T,T) '
+                         'masks are most of the RNG draws)')
+    ap.add_argument('--mesh', action='store_true',
+                    help='jit with mesh in_shardings (the production path)')
+    ap.add_argument('--fused-attn', type=int, default=0, choices=(0, 1),
+                    help='1: pallas whole-row attention kernel')
     ap.add_argument('--rng-impl', default=None,
                     help="jax_default_prng_impl (e.g. 'rbg')")
     args = ap.parse_args()
@@ -50,9 +57,11 @@ def main():
     from daft_exprt_tpu.parallel.train_step import (
         MODEL_INPUT_KEYS, make_optimizer, make_train_step)
 
-    hp, model = _full_size_model()
+    hp, model = _full_size_model(fused_attention=bool(args.fused_attn))
     hp.compute_dtype = args.dtype
-    import dataclasses
+    if args.no_attn_dropout:
+        for cfg_name in ('phoneme_encoder', 'accent_encoder', 'frame_decoder'):
+            getattr(hp, cfg_name)['attn_dropout'] = 0.0
     from daft_exprt_tpu.models.daft_exprt import DaftExprt
     model = DaftExprt.from_hparams(hp)
 
@@ -117,7 +126,11 @@ def main():
             params = optax.apply_updates(params, updates)
             return params, opt_state, {'loss': loss}
     else:
-        step = make_train_step(model, tx, cfg, None, mesh=None,
+        mesh = None
+        if args.mesh:
+            from daft_exprt_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+        step = make_train_step(model, tx, cfg, None, mesh=mesh,
                                accumulation_steps=args.accum, donate=False)
 
     key = jax.random.PRNGKey(0)
