@@ -23,8 +23,10 @@ def main():
 
     hp, model = _full_size_model()
     # BENCH_BATCH=1 measures the BASELINE.md batch-1 RTF config; the
-    # default (driver) config is batch 32
-    B = int(os.environ.get('BENCH_BATCH', '32'))
+    # default (driver) config is batch 128 (batch sweep: 32 → 1434,
+    # 64 → 1507, 128 → 1554 audio-s/s — fixed dispatch/acoustic overhead
+    # amortizes; bf16 activations keep peak HBM well under budget)
+    B = int(os.environ.get('BENCH_BATCH', '128'))
     L, T = 128, 1024
     batch = _make_batch(hp, B, L, T)
     variables = model.init({'params': jax.random.PRNGKey(0),

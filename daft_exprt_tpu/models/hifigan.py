@@ -177,10 +177,24 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
     the fused channels-in-sublanes Pallas kernel: all ``num_kernels``
     resblocks computed in one HBM round trip. x: (B, C, T) → (B, C, T)."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
-        fused_mrf_ct, pack_mrf_weights)
+        fused_mrf_ct, fused_mrf_phase, pack_mrf_phase_weights,
+        pack_mrf_weights)
     B, C, T = x.shape
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
+    # narrowest levels (C*4 <= 128): phase-major banded kernel — folds 4
+    # time phases into channels so every conv matmul fills all 128 MXU
+    # rows (1.75x the M=C-bound matmul floor on the V1 conv mix)
+    p = 128 // C if C > 0 and 128 % C == 0 else 1
+    if p >= 4 and os.environ.get('DAFT_MRF_PHASE', '1') != '0':
+        p = min(p, 8)
+        eff = 4096
+        while T % (p * eff) != 0 and eff > 128:
+            eff //= 2
+        if T % (p * eff) == 0:
+            weights = pack_mrf_phase_weights(params, level, ks, dils, p)
+            return fused_mrf_phase(x, weights, ks, dils, p, tile=eff,
+                                   interpret=interpret)
     # scale the time tile with channel width so the in-kernel chain
     # (several live (C, tile) f32 intermediates + the packed weights)
     # fits VMEM; tile*C ≈ 512K elements ≈ 2 MB per live buffer

@@ -298,6 +298,215 @@ def pack_mrf_weights(params, level, kernel_sizes, dilations,
     return out
 
 
+# ----------------------------------------------------------------------
+# Phase-major (space-to-depth) MRF kernel for narrow-channel levels
+# ----------------------------------------------------------------------
+#
+# The C=32 tail level caps MXU row utilization at C_out/128 = 25%: each
+# per-tap (or tap-merged) matmul has only 32 output rows. Folding p=4 time
+# phases into channels lifts M to p*C = 128: x is laid out as
+# X[r*C + c, q] = x[c, p*q + r], and a dilated conv becomes ONE banded
+# matmul  Y = Wd @ S  where S stacks W = span(δ) lane-shifted copies of X
+# (the "phase stream") and Wd[(r*C+co), (r + d*tap)*C + ci] = w[co, ci, tap].
+# FLOPs grow by (p + d(k-1))/(p*k) but run at 4x the M-bound rate — a
+# 1.75x net on the level's V1 conv mix — and the shift-copy traffic drops
+# from Σk=126 to ΣW=92 copies per chain.
+
+def to_phase(x, p):
+    """(B, C, T) → (B, p*C, T//p) with row r*C+c, col q = x[c, p*q + r]."""
+    B, C, T = x.shape
+    return x.reshape(B, C, T // p, p).transpose(0, 3, 1, 2) \
+            .reshape(B, p * C, T // p)
+
+
+def from_phase(y, p):
+    """Inverse of to_phase."""
+    B, PC, Q = y.shape
+    C = PC // p
+    return y.reshape(B, p, C, Q).transpose(0, 2, 3, 1).reshape(B, C, Q * p)
+
+
+def _phase_conv_spec(k, d, p):
+    """Static geometry of one dilated conv in phase-p layout."""
+    half = (k - 1) // 2
+    dmin = (-(d * half)) // p          # floor; ≤ 0
+    dmax = (p - 1 + d * half) // p
+    j0 = -d * half - p * dmin          # ∈ [0, p): row offset into the stream
+    return dict(half=half, dmin=dmin, dmax=dmax, W=dmax - dmin + 1, j0=j0,
+                kcols=p + d * (k - 1))
+
+
+def phase_chain_halo(kernel_sizes, dilations, p):
+    """Per-side halo in phase columns for the fused chain, 128-aligned."""
+    worst = 0
+    for k, dils in zip(kernel_sizes, dilations):
+        left = right = 0
+        for d in dils:
+            s1 = _phase_conv_spec(k, d, p)
+            s2 = _phase_conv_spec(k, 1, p)
+            left += -s1['dmin'] - s2['dmin']
+            right += s1['dmax'] + s2['dmax']
+        worst = max(worst, left, right)
+    return -(-worst // 128) * 128
+
+
+def pack_mrf_phase_weights(params, level, kernel_sizes, dilations, p,
+                           torch_layout=True):
+    """One upsample level's resblock weights → banded phase-p matrices.
+
+    Returns the flat [Wd1_0, b1_0, Wd2_0, b2_0, ...] list per (block,
+    dilation) pair with Wd: (p*C, (p + d(k-1))*C) and b: (p*C, 1) — the
+    bias tiled across phases.
+    """
+    out = []
+    for j, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
+        rb = params[f'resblock_{level}_{j}']
+        for i, d in enumerate(dils):
+            for prefix, dd in (('convs1', d), ('convs2', 1)):
+                w = rb[f'{prefix}_{i}']['w']
+                if not torch_layout:
+                    raise ValueError('phase packer expects torch (out,in,k)')
+                C_out, C_in, kk = w.shape
+                # band for phase r=0: taps at column blocks dd*tap of
+                # dd*(kk-1)+1 blocks (zero-interleaved for dilation)
+                taps = jnp.transpose(w, (2, 0, 1))        # (k, out, in)
+                if dd > 1:
+                    z = jnp.zeros((kk, dd - 1, C_out, C_in), taps.dtype)
+                    taps = jnp.concatenate([taps[:, None], z], axis=1)
+                    taps = taps.reshape(kk * dd, C_out, C_in)
+                    taps = taps[:dd * (kk - 1) + 1]
+                band = jnp.transpose(taps, (1, 0, 2)).reshape(
+                    C_out, (dd * (kk - 1) + 1) * C_in)
+                # row block r = band shifted right by r*C_in columns
+                rows = [jnp.pad(band, ((0, 0), (r * C_in,
+                                                (p - 1 - r) * C_in)))
+                        for r in range(p)]
+                Wd = jnp.concatenate(rows, axis=0)        # (p*C, kcols*C)
+                b = rb[f'{prefix}_{i}']['b']
+                out.append(Wd)
+                out.append(jnp.tile(b, p)[:, None])
+    return out
+
+
+def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
+    """One dilated conv as a single banded matmul in phase-p layout.
+
+    t_in: (p*C, len) activations (compute dtype). Builds the phase stream
+    by staging W lane-shifted copies of t_in through ``stack_ref`` (Mosaic
+    cannot concatenate lane-rotated slices), then one
+    (p*C, kcols*C) @ (kcols*C, L_out) matmul.
+    """
+    pc = p * C
+    for u in range(spec['W']):
+        stack_ref[u * pc:(u + 1) * pc, 0:L_out] = t_in[:, u:u + L_out]
+    row0 = spec['j0'] * C
+    operand = stack_ref[row0:row0 + spec['kcols'] * C, 0:L_out]
+    acc = jnp.dot(wd_ref[:], operand, preferred_element_type=jnp.float32)
+    return acc + b_ref[:]
+
+
+def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C):
+    """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
+    HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ... + o_ref +
+    x_scratch + sem + stack_ref."""
+    n_w = 4 * sum(len(d) for d in dils)
+    o_ref = refs[n_w]
+    x_scratch = refs[n_w + 1]
+    sem = refs[n_w + 2]
+    stack_ref = refs[n_w + 3]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(t * tile, tile + 2 * halo)],
+        x_scratch, sem)
+    copy.start()
+    copy.wait()
+
+    cdt = x_scratch.dtype
+    x0 = x_scratch[:]                        # (p*C, tile + 2*halo)
+    acc_out = None
+    ref_idx = 0
+    for blk in range(nb):
+        k = ks[blk]
+        cur = x0.astype(jnp.float32)
+        cur_len = tile + 2 * halo
+        off = 0                              # col 0 of cur in halo'd coords
+        for d in dils[blk]:
+            s1 = _phase_conv_spec(k, d, p)
+            s2 = _phase_conv_spec(k, 1, p)
+            wd1, b1, wd2, b2 = refs[ref_idx:ref_idx + 4]
+            ref_idx += 4
+            t_in = _lrelu(cur).astype(cdt)
+            L1 = cur_len - (s1['W'] - 1)
+            a1 = _phase_conv(t_in, wd1, b1, s1, C, p, L1, stack_ref)
+            t2 = _lrelu(a1).astype(cdt)
+            L2 = L1 - (s2['W'] - 1)
+            a2 = _phase_conv(t2, wd2, b2, s2, C, p, L2, stack_ref)
+            shift = -s1['dmin'] - s2['dmin']
+            cur = cur[:, shift:shift + L2] + a2
+            cur_len = L2
+            off += shift
+        tile_out = cur[:, halo - off: halo - off + tile]
+        acc_out = tile_out if acc_out is None else acc_out + tile_out
+    o_ref[0, :, :] = (acc_out * (1.0 / nb)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
+                                             'p', 'tile', 'interpret'))
+def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
+                    interpret=False):
+    """Fused MRF resblock group in phase-p layout.
+
+    x: (B, C, T) standard layout — converted to/from phase layout here
+    (two XLA relayouts, ~1 HBM round trip each, vs the matmul savings
+    inside). ``weights`` from :func:`pack_mrf_phase_weights`. Interior
+    samples are exact; utterance edges collapse SAME padding across the
+    chain like the other fused kernels.
+    """
+    B, C, T = x.shape
+    nb = len(kernel_sizes)
+    if T % (p * tile) != 0:
+        raise ValueError(f'T={T} not a multiple of p*tile={p * tile}')
+    halo = phase_chain_halo(kernel_sizes, dilations, p)
+    xp = to_phase(x, p)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (halo, halo)))
+    Tq = T // p
+    n_tiles = Tq // tile
+
+    max_w = max(_phase_conv_spec(k, d, p)['W']
+                for k, ds in zip(kernel_sizes, dilations) for d in ds)
+
+    kernel = functools.partial(
+        _fused_mrf_phase_kernel, tile=tile, halo=halo,
+        ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
+        nb=nb, p=p, C=C)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(
+            w.shape, (lambda b, t, _n=w.ndim: (0,) * _n),
+            memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, p * C, tile), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, p * C, Tq), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((p * C, tile + 2 * halo), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((max_w * p * C, tile + 2 * halo), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, *weights)
+    return from_phase(out, p)
+
+
 def resblock1_reference(x, w1, b1, w2, b2, kernel_size, dilations):
     """Pure-JAX reference (shifted matmuls, zero-padded) for testing."""
     B, T, C = x.shape

@@ -141,6 +141,86 @@ def test_fused_mrf_ct_bf16():
     assert np.abs(out16 - out32).max() < 0.05
 
 
+def test_phase_roundtrip():
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import from_phase, to_phase
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 32, 64).astype(np.float32))
+    y = to_phase(x, 4)
+    assert y.shape == (2, 128, 16)
+    # row r*C+c, col q == x[c, 4q+r]
+    np.testing.assert_array_equal(np.asarray(y[1, 3 * 32 + 5, 7]),
+                                  np.asarray(x[1, 5, 4 * 7 + 3]))
+    np.testing.assert_array_equal(np.asarray(from_phase(y, 4)),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize('p', [2, 4])
+def test_fused_mrf_phase_matches_reference(p):
+    """Phase-major banded kernel vs per-block reference, full V1 conv mix."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, pack_mrf_phase_weights, phase_chain_halo)
+    rng = np.random.RandomState(7)
+    ks = (3, 7, 11)
+    dils = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    B, C, T = 2, 32, 4096
+    x_ct = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    x_tc = jnp.swapaxes(x_ct, 1, 2)
+    params = {}
+    ref_acc = None
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        rb, w1s, b1s, w2s, b2s = {}, [], [], [], []
+        for i in range(len(d)):
+            w1 = rng.randn(C, C, k).astype(np.float32) * 0.02
+            b1 = rng.randn(C).astype(np.float32) * 0.01
+            w2 = rng.randn(C, C, k).astype(np.float32) * 0.02
+            b2 = rng.randn(C).astype(np.float32) * 0.01
+            rb[f'convs1_{i}'] = {'w': jnp.asarray(w1), 'b': jnp.asarray(b1)}
+            rb[f'convs2_{i}'] = {'w': jnp.asarray(w2), 'b': jnp.asarray(b2)}
+            w1s.append(np.transpose(w1, (2, 1, 0)))
+            w2s.append(np.transpose(w2, (2, 1, 0)))
+            b1s.append(b1)
+            b2s.append(b2)
+        params[f'resblock_0_{j}'] = rb
+        r = resblock1_reference(x_tc, jnp.asarray(np.stack(w1s)),
+                                jnp.asarray(np.stack(b1s)),
+                                jnp.asarray(np.stack(w2s)),
+                                jnp.asarray(np.stack(b2s)), k, d)
+        ref_acc = r if ref_acc is None else ref_acc + r
+    ref = np.asarray(jnp.swapaxes(ref_acc / len(ks), 1, 2))
+    weights = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    out = np.asarray(fused_mrf_phase(x_ct, weights, ks, dils, p, tile=512,
+                                     interpret=True))
+    h = phase_chain_halo(ks, dils, p) * p
+    assert np.abs(out[:, :, h:-h] - ref[:, :, h:-h]).max() < 1e-5
+    assert np.abs(out - ref).max() < 0.1
+
+
+def test_fused_mrf_phase_bf16():
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, pack_mrf_phase_weights)
+    rng = np.random.RandomState(8)
+    ks, dils, p = (3,), ((1, 3),), 4
+    B, C, T = 1, 32, 2048
+    x = rng.randn(B, C, T).astype(np.float32) * 0.1
+    params = {'resblock_0_0': {
+        f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, 3)
+                                        .astype(np.float32) * .02),
+                       'b': jnp.asarray(rng.randn(C)
+                                        .astype(np.float32) * .01)}
+        for pre in ('convs1', 'convs2') for i in range(2)}}
+    weights = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    out32 = np.asarray(fused_mrf_phase(jnp.asarray(x), weights, ks, dils, p,
+                                       tile=256, interpret=True))
+    wb = [w.astype(jnp.bfloat16) for w in weights]
+    out16 = np.asarray(fused_mrf_phase(
+        jnp.asarray(x).astype(jnp.bfloat16), wb, ks, dils, p, tile=256,
+        interpret=True).astype(jnp.float32))
+    assert np.abs(out16 - out32).max() < 0.05
+
+
 @pytest.mark.parametrize('C', [32, 64])
 def test_fused_mrf_ct_merged_taps(C):
     """merge_taps=True (stacked-K matmuls) matches the per-tap form."""
