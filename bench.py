@@ -62,7 +62,9 @@ def main():
     parity = os.environ.get('BENCH_DTYPE') == 'float32'
     voc_dtype = jnp.float32 if parity else jnp.bfloat16
     use_pallas = not parity
-    VOC_CHUNK = 8 if parity else B
+    VOC_CHUNK = int(os.environ.get('BENCH_VOC_CHUNK',
+                                   '8' if parity else str(B)))
+    VOC_CHUNK = min(VOC_CHUNK, B)
 
     @jax.jit
     def pipeline(params, voc_params, b):

@@ -137,7 +137,7 @@ def _resblock2(params, x, dilations):
 
 
 def generator_forward(params: Dict[str, Any], mel, config=None,
-                      use_pallas=False, pallas_tile=8192):
+                      use_pallas=False, pallas_tile=8192, interpret=False):
     """mel: (B, n_mels, T) → wav (B, 1, T * prod(upsample_rates)).
 
     ``use_pallas=True`` routes each ResBlock1 group through the fused
@@ -150,16 +150,41 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
     cfg = config or DEFAULT_CONFIG
     num_kernels = len(cfg['resblock_kernel_sizes'])
     resblock = _resblock1 if cfg['resblock'] == '1' else _resblock2
+    chain = use_pallas and cfg['resblock'] == '1' and \
+        os.environ.get('DAFT_PHASE_CHAIN', '1') != '0'
 
     x = _conv1d(mel, params['conv_pre']['w'], params['conv_pre']['b'])
+    cur_p = 1        # current phase depth of x: (B, cur_p*C, T/cur_p)
     for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
                                    cfg['upsample_kernel_sizes'])):
         x = _lrelu(x)
+        c_out = params[f'ups_{i}']['w'].shape[1]
+        want_p = _phase_for(c_out)
+        if chain and want_p >= 2 and want_p == u * cur_p \
+                and k - 2 * ((k - u) // 2) == u:
+            # phase-native tail: the polyphase upsample emits phase
+            # layout directly (no interleave transpose) and the fused
+            # MRF kernel consumes/produces it (no to/from_phase) — the
+            # relayouts otherwise cost as much as the kernel saves
+            from daft_exprt_tpu.ops.vocoder_kernels import (
+                conv_transpose1d_phase)
+            x = conv_transpose1d_phase(
+                x, params[f'ups_{i}']['w'], params[f'ups_{i}']['b'],
+                stride=u, padding=(k - u) // 2, p_in=cur_p)
+            cur_p = want_p
+            x = _pallas_mrf_phase(params, x, i, cfg, cur_p,
+                                  interpret=interpret)
+            continue
+        if cur_p > 1:
+            from daft_exprt_tpu.ops.vocoder_kernels import from_phase
+            x = from_phase(x, cur_p)
+            cur_p = 1
         x = _conv_transpose1d(x, params[f'ups_{i}']['w'],
                               params[f'ups_{i}']['b'], stride=u,
                               padding=(k - u) // 2)
         if use_pallas and cfg['resblock'] == '1':
-            x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile)
+            x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile,
+                            interpret=interpret)
         else:
             xs = None
             for j, dil in enumerate(cfg['resblock_dilation_sizes']):
@@ -168,8 +193,43 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 xs = y if xs is None else xs + y
             x = xs / num_kernels
     x = _lrelu(x)
-    x = _conv1d(x, params['conv_post']['w'], params['conv_post']['b'])
+    if cur_p > 1:
+        from daft_exprt_tpu.ops.vocoder_kernels import (
+            from_phase, phase_conv1d)
+        x = phase_conv1d(x, params['conv_post']['w'],
+                         params['conv_post']['b'], cur_p)
+        x = from_phase(x, cur_p)        # (B, 1, T): cheap, one channel
+    else:
+        x = _conv1d(x, params['conv_post']['w'], params['conv_post']['b'])
     return jnp.tanh(x)
+
+
+def _phase_for(c):
+    """Phase depth that fills the 128 MXU rows for channel width c."""
+    if c <= 0 or c >= 128 or 128 % c != 0:
+        return 1
+    return min(8, 128 // c)
+
+
+def _pallas_mrf_phase(params, x_p, level, cfg, p, interpret=False):
+    """Fused phase-native MRF: x_p (B, p*C, Q) in, same layout out."""
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, pack_mrf_phase_weights)
+    ks = tuple(cfg['resblock_kernel_sizes'])
+    dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
+    Q = x_p.shape[2]
+    eff = 4096
+    while Q % eff != 0 and eff > 64:
+        eff //= 2
+    if Q % eff != 0:
+        from daft_exprt_tpu.ops.vocoder_kernels import from_phase, to_phase
+        x = from_phase(x_p, p)
+        return to_phase(_pallas_mrf(params, x, level, cfg, len(ks), 8192,
+                                    interpret=interpret), p)
+    weights = pack_mrf_phase_weights(params, level, ks, dils, p)
+    return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
+                           in_phase=True, out_phase=True,
+                           interpret=interpret)
 
 
 def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):

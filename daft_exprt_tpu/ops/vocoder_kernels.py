@@ -453,25 +453,34 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C):
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
-                                             'p', 'tile', 'interpret'))
+                                             'p', 'tile', 'in_phase',
+                                             'out_phase', 'interpret'))
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
-                    interpret=False):
+                    in_phase=False, out_phase=False, interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
-    x: (B, C, T) standard layout — converted to/from phase layout here
-    (two XLA relayouts, ~1 HBM round trip each, vs the matmul savings
-    inside). ``weights`` from :func:`pack_mrf_phase_weights`. Interior
+    x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
+    producer — e.g. a polyphase upsample — already emitted phase layout,
+    so no relayout happens here; the explicit to/from_phase transposes
+    cost ~7 ms device at B=8 C=32 T=262144, as much as the kernel win).
+    ``out_phase`` keeps the output in phase layout for a phase-aware
+    consumer. ``weights`` from :func:`pack_mrf_phase_weights`. Interior
     samples are exact; utterance edges collapse SAME padding across the
     chain like the other fused kernels.
     """
-    B, C, T = x.shape
+    if in_phase:
+        B, PC, Tq = x.shape
+        C, T = PC // p, PC // p * p * Tq
+        xp = x
+    else:
+        B, C, T = x.shape
+        xp = to_phase(x, p)
+        Tq = T // p
     nb = len(kernel_sizes)
-    if T % (p * tile) != 0:
-        raise ValueError(f'T={T} not a multiple of p*tile={p * tile}')
+    if Tq % tile != 0:
+        raise ValueError(f'T/p={Tq} not a multiple of tile={tile}')
     halo = phase_chain_halo(kernel_sizes, dilations, p)
-    xp = to_phase(x, p)
     xp = jnp.pad(xp, ((0, 0), (0, 0), (halo, halo)))
-    Tq = T // p
     n_tiles = Tq // tile
 
     max_w = max(_phase_conv_spec(k, d, p)['W']
@@ -504,7 +513,83 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(xp, *weights)
-    return from_phase(out, p)
+    return out if out_phase else from_phase(out, p)
+
+
+def phase_conv1d(x_p, w, b, p, dilation=1):
+    """SAME-padded Conv1d on a phase-p input, staying in phase layout.
+
+    x_p: (B, p*C_in, Q); w: (C_out, C_in, k) torch layout. One banded
+    matmul (XLA dot) per the same construction as the fused kernel —
+    used for conv_post when the tail chain runs phase-native.
+    """
+    B, PC, Q = x_p.shape
+    C_out, C_in, k = w.shape
+    assert PC == p * C_in, (PC, p, C_in)
+    spec = _phase_conv_spec(k, dilation, p)
+    xpad = jnp.pad(x_p, ((0, 0), (0, 0), (-spec['dmin'], spec['dmax'])))
+    stacked = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xpad, u, Q, axis=2)
+         for u in range(spec['W'])], axis=1)     # (B, W*p*C_in, Q)
+    row0 = spec['j0'] * C_in
+    operand = jax.lax.dynamic_slice_in_dim(
+        stacked, row0, spec['kcols'] * C_in, axis=1)
+    taps = jnp.transpose(w, (2, 0, 1))            # (k, out, in)
+    if dilation > 1:
+        z = jnp.zeros((k, dilation - 1, C_out, C_in), taps.dtype)
+        taps = jnp.concatenate([taps[:, None], z], axis=1)
+        taps = taps.reshape(k * dilation, C_out, C_in)
+        taps = taps[:dilation * (k - 1) + 1]
+    band = jnp.transpose(taps, (1, 0, 2)).reshape(
+        C_out, (dilation * (k - 1) + 1) * C_in)
+    rows = [jnp.pad(band, ((0, 0), (r * C_in, (p - 1 - r) * C_in)))
+            for r in range(p)]
+    Wd = jnp.concatenate(rows, axis=0)            # (p*C_out, kcols*C_in)
+    y = jnp.einsum('oc,bcq->boq', Wd.astype(x_p.dtype), operand)
+    return y + jnp.tile(b, p)[None, :, None].astype(y.dtype)
+
+
+def conv_transpose1d_phase(x_p, w, b, stride, padding, p_in):
+    """torch ConvTranspose1d consuming phase-``p_in`` input and emitting
+    phase-``stride*p_in`` output — no interleave transposes anywhere.
+
+    x_p: (B, p_in*C_in, U) with x_p[a*C_in+ci, u] = x[ci, p_in*u + a];
+    w: (C_in, C_out, k) torch layout. Output (B, p_out*C_out, U) with the
+    same column count (p_out = stride*p_in): one stacked-shift einsum.
+    Implicit transposed-conv zero padding is exact (matches the
+    input-dilated form bit-for-bit up to summation order).
+    """
+    B, PC, U = x_p.shape
+    C_in, C_out, k = w.shape
+    assert PC == p_in * C_in
+    s, pp = stride, padding
+    if k - 2 * pp != s:
+        raise ValueError('phase transposed conv requires k - 2*padding == '
+                         f'stride (got k={k}, padding={pp}, stride={s})')
+    po = s * p_in
+    # output t = po*q + r needs x[pi*q + e], e=(r+pp-j)/s for s|(r+pp-j)
+    entries = []                     # (r, j, a, delta)
+    for r in range(po):
+        for j in range(k):
+            if (r + pp - j) % s != 0:
+                continue
+            e = (r + pp - j) // s
+            entries.append((r, j, e % p_in, e // p_in))
+    dmin = min(d for *_, d in entries)
+    dmax = max(d for *_, d in entries)
+    W = dmax - dmin + 1
+    xpad = jnp.pad(x_p, ((0, 0), (0, 0), (-dmin, dmax)))
+    stacked = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xpad, u, U, axis=2)
+         for u in range(W)], axis=1)             # (B, W*p_in*C_in, U)
+    Wb = jnp.zeros((po * C_out, W * p_in * C_in), x_p.dtype)
+    wt = jnp.swapaxes(w, 0, 1).astype(x_p.dtype)  # (C_out, C_in, k)
+    for r, j, a, d in entries:
+        blk = (d - dmin) * p_in + a
+        Wb = Wb.at[r * C_out:(r + 1) * C_out,
+                   blk * C_in:(blk + 1) * C_in].set(wt[:, :, j])
+    y = jnp.einsum('oc,bcq->boq', Wb, stacked)
+    return y + jnp.tile(b, po)[None, :, None].astype(y.dtype)
 
 
 def resblock1_reference(x, w1, b1, w2, b2, kernel_size, dilations):

@@ -103,3 +103,62 @@ def test_conv_transpose_polyphase_matches_dilated():
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
+
+
+def test_conv_transpose1d_phase_matches_standard():
+    """Phase-emitting transposed conv == standard, across phase depths."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import _conv_transpose1d
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        conv_transpose1d_phase, from_phase, to_phase)
+    rng = np.random.RandomState(8)
+    for s, k, pin in [(2, 4, 1), (2, 4, 2), (8, 16, 1), (4, 8, 2)]:
+        C_in, C_out, U = 16, 24, 32
+        w = jnp.asarray(rng.randn(C_in, C_out, k).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C_out).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.randn(1, C_in, U * pin).astype(np.float32))
+        y_std = _conv_transpose1d(x, w, b, stride=s, padding=(k - s) // 2)
+        xp = to_phase(x, pin) if pin > 1 else x
+        y_p = conv_transpose1d_phase(xp, w, b, stride=s,
+                                     padding=(k - s) // 2, p_in=pin)
+        np.testing.assert_allclose(np.asarray(from_phase(y_p, s * pin)),
+                                   np.asarray(y_std), atol=1e-4)
+
+
+def test_phase_conv1d_exact():
+    """SAME conv in phase layout is exact (incl. edges) vs standard."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import _conv1d
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        from_phase, phase_conv1d, to_phase)
+    rng = np.random.RandomState(9)
+    for p, k, d in [(4, 7, 1), (2, 3, 1), (4, 3, 3), (8, 11, 1)]:
+        C_in, C_out, T = 16, 8, 64
+        w = jnp.asarray(rng.randn(C_out, C_in, k).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C_out).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.randn(1, C_in, T).astype(np.float32))
+        y_std = _conv1d(x, w, b, dilation=d)
+        y_p = from_phase(phase_conv1d(to_phase(x, p), w, b, p, dilation=d),
+                         p)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_std),
+                                   atol=1e-4)
+
+
+def test_generator_phase_chain_matches_xla():
+    """Full phase-native tail chain (phase upsample -> phase MRF kernels
+    -> phase conv_post) vs the standard XLA path, interpret mode."""
+    import jax.numpy as jnp
+    cfg = {'sampling_rate': 22050, 'upsample_rates': [2, 2],
+           'upsample_kernel_sizes': [4, 4], 'upsample_initial_channel': 128,
+           'resblock': '1', 'resblock_kernel_sizes': [3, 7],
+           'resblock_dilation_sizes': [[1, 3, 5], [1, 3, 5]],
+           'model_in_dim': 80}
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(10)
+    mel = jnp.asarray(rng.randn(2, 80, 256).astype(np.float32))
+    ref = np.asarray(generator_forward(params, mel, cfg))
+    out = np.asarray(generator_forward(params, mel, cfg, use_pallas=True,
+                                       interpret=True))
+    assert out.shape == ref.shape
+    # fused-chain edge semantics only differ inside the receptive field
+    assert np.abs(out[:, :, 256:-256] - ref[:, :, 256:-256]).max() < 1e-4
