@@ -114,8 +114,16 @@ def init_mpd_params(rng):
     return params
 
 
-def _discriminator_p(sub, x, period):
-    """x: (B, 1, T) → (score_flat, fmap list)."""
+def _discriminator_p(sub, x, period, dtype=None):
+    """x: (B, 1, T) → (score_flat, fmap list). ``dtype`` casts the conv
+    compute (weight-norm fold stays f32; bf16 halves the conv time on the
+    MXU with params/optimizer untouched)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+
+    def cast(w):
+        return w.astype(dtype) if dtype is not None else w
+
     b, c, t = x.shape
     if t % period != 0:
         n_pad = period - (t % period)
@@ -125,24 +133,26 @@ def _discriminator_p(sub, x, period):
     fmap = []
     for i in range(len(_MPD_CHANNELS)):
         stride = (3, 1) if i < 4 else (1, 1)
-        x = _conv2d(x, _wn_kernel(sub[f'conv_{i}']), sub[f'conv_{i}']['b'],
+        x = _conv2d(x, cast(_wn_kernel(sub[f'conv_{i}'])),
+                    cast(sub[f'conv_{i}']['b']),
                     stride=stride, padding=((2, 2), (0, 0)))
         x = _lrelu(x)
         fmap.append(x)
-    x = _conv2d(x, _wn_kernel(sub['conv_post']), sub['conv_post']['b'],
+    x = _conv2d(x, cast(_wn_kernel(sub['conv_post'])),
+                cast(sub['conv_post']['b']),
                 stride=(1, 1), padding=((1, 1), (0, 0)))
     fmap.append(x)
     return x.reshape(b, -1), fmap
 
 
-def mpd_forward(params, y, y_hat):
+def mpd_forward(params, y, y_hat, dtype=None):
     """y, y_hat: (B, 1, T). Returns (real_scores, gen_scores, real_fmaps,
     gen_fmaps) lists over the 5 periods."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     for period in MPD_PERIODS:
         sub = params[f'period_{period}']
-        s_r, f_r = _discriminator_p(sub, y, period)
-        s_g, f_g = _discriminator_p(sub, y_hat, period)
+        s_r, f_r = _discriminator_p(sub, y, period, dtype=dtype)
+        s_g, f_g = _discriminator_p(sub, y_hat, period, dtype=dtype)
         y_d_rs.append(s_r)
         y_d_gs.append(s_g)
         fmap_rs.append(f_r)
@@ -194,7 +204,15 @@ def init_msd_params(rng):
     return params, sn_state
 
 
-def _discriminator_s(sub, sn_sub, x, update_sn):
+def _discriminator_s(sub, sn_sub, x, update_sn, dtype=None):
+    """``dtype`` casts conv compute; WN fold and the SN power iteration
+    stay f32 (the iteration state drives training dynamics)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+
+    def cast(w):
+        return w.astype(dtype) if dtype is not None else w
+
     fmap = []
     new_state = {}
     for i, (_cin, _cout, _k, stride, groups, pad) in enumerate(_MSD_LAYERS):
@@ -204,7 +222,8 @@ def _discriminator_s(sub, sn_sub, x, update_sn):
             new_state[f'conv_{i}'] = u
         else:
             w = _wn_kernel(p)
-        x = _conv1d(x, w, p['b'], stride=stride, padding=pad, groups=groups)
+        x = _conv1d(x, cast(w), cast(p['b']), stride=stride, padding=pad,
+                    groups=groups)
         x = _lrelu(x)
         fmap.append(x)
     p = sub['conv_post']
@@ -213,7 +232,7 @@ def _discriminator_s(sub, sn_sub, x, update_sn):
         new_state['conv_post'] = u
     else:
         w = _wn_kernel(p)
-    x = _conv1d(x, w, p['b'], stride=1, padding=1)
+    x = _conv1d(x, cast(w), cast(p['b']), stride=1, padding=1)
     fmap.append(x)
     return x.reshape(x.shape[0], -1), fmap, new_state
 
@@ -227,8 +246,9 @@ def _avg_pool_4_2(x):
     return xp[:, :, idx].mean(axis=-1)
 
 
-def msd_forward(params, sn_state, y, y_hat, update_sn=True):
-    """Returns (real_scores, gen_scores, real_fmaps, gen_fmaps, new_sn_state)."""
+def msd_forward(params, sn_state, y, y_hat, update_sn=True, dtype=None):
+    """Returns (real_scores, gen_scores, real_fmaps, gen_fmaps, new_sn_state).
+    The inter-scale average pooling stays f32; ``dtype`` casts conv compute."""
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     new_sn_state = dict(sn_state)
     for s_idx in range(3):
@@ -237,10 +257,12 @@ def msd_forward(params, sn_state, y, y_hat, update_sn=True):
             y_hat = _avg_pool_4_2(y_hat)
         sub = params[f'scale_{s_idx}']
         sn_sub = sn_state.get(f'scale_{s_idx}')
-        s_r, f_r, state_r = _discriminator_s(sub, sn_sub, y, update_sn)
+        s_r, f_r, state_r = _discriminator_s(sub, sn_sub, y, update_sn,
+                                             dtype=dtype)
         # generated pass reuses the just-updated u (one power step per call)
         s_g, f_g, _ = _discriminator_s(
-            sub, state_r if sn_sub is not None else None, y_hat, False)
+            sub, state_r if sn_sub is not None else None, y_hat, False,
+            dtype=dtype)
         if sn_sub is not None:
             new_sn_state[f'scale_{s_idx}'] = state_r
         y_d_rs.append(s_r)
@@ -258,6 +280,8 @@ def discriminator_loss(real_outputs, generated_outputs):
     loss = jnp.float32(0.0)
     r_losses, g_losses = [], []
     for dr, dg in zip(real_outputs, generated_outputs):
+        dr = dr.astype(jnp.float32)
+        dg = dg.astype(jnp.float32)
         r = jnp.mean((1.0 - dr) ** 2)
         g = jnp.mean(dg ** 2)
         loss = loss + r + g
@@ -270,7 +294,7 @@ def generator_loss(disc_outputs):
     loss = jnp.float32(0.0)
     gen_losses = []
     for dg in disc_outputs:
-        l = jnp.mean((1.0 - dg) ** 2)
+        l = jnp.mean((1.0 - dg.astype(jnp.float32)) ** 2)
         gen_losses.append(l)
         loss = loss + l
     return loss, gen_losses
@@ -280,5 +304,6 @@ def feature_loss(fmap_r, fmap_g):
     loss = jnp.float32(0.0)
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss = loss + jnp.mean(jnp.abs(rl - gl))
+            loss = loss + jnp.mean(jnp.abs(rl.astype(jnp.float32)
+                                           - gl.astype(jnp.float32)))
     return loss * 2.0

@@ -172,26 +172,39 @@ class HiFiGANFinetuneDataset:
 # training steps
 # ----------------------------------------------------------------------
 
-def make_gan_steps(config=None, lr=2e-4, b1=0.8, b2=0.99):
-    """Builds (d_step, g_step, init_opts) jitted GAN training steps."""
+def make_gan_steps(config=None, lr=2e-4, b1=0.8, b2=0.99,
+                   compute_dtype='float32'):
+    """Builds (d_step, g_step, init_opts) jitted GAN training steps.
+
+    ``compute_dtype='bfloat16'`` runs the generator and discriminator conv
+    compute in bf16 (params, optimizer states, weight-norm folds, the
+    spectral-norm power iteration, and the mel loss all stay f32 — this is
+    standard mixed precision, not a parameter cast).
+    """
     cfg = config or DEFAULT_CONFIG
+    cdt = jnp.bfloat16 if compute_dtype == 'bfloat16' else None
     loss_mel_fn = make_loss_mel_fn()
     optim_g = optax.adamw(lr, b1=b1, b2=b2)
     optim_d = optax.adamw(lr, b1=b1, b2=b2)
 
     def gen_wav(g_params_wn, mel):
         plain = generator_from_weight_norm(g_params_wn)
-        return generator_forward(plain, mel, cfg)            # (B, 1, T)
+        if cdt is not None:
+            plain = jax.tree_util.tree_map(lambda x: x.astype(cdt), plain)
+            mel = mel.astype(cdt)
+        wav = generator_forward(plain, mel, cfg)             # (B, 1, T)
+        return wav.astype(jnp.float32)
 
     @jax.jit
     def d_step(d_params, d_opt, sn_state, g_params_wn, mel, y):
         y_hat = jax.lax.stop_gradient(gen_wav(g_params_wn, mel))
 
         def loss_fn(dp):
-            df_r, df_g, _, _ = mpd_forward(dp['mpd'], y, y_hat)
+            df_r, df_g, _, _ = mpd_forward(dp['mpd'], y, y_hat, dtype=cdt)
             loss_f, _, _ = discriminator_loss(df_r, df_g)
             ds_r, ds_g, _, _, new_sn = msd_forward(dp['msd'], sn_state, y,
-                                                   y_hat, update_sn=True)
+                                                   y_hat, update_sn=True,
+                                                   dtype=cdt)
             loss_s, _, _ = discriminator_loss(ds_r, ds_g)
             return loss_f + loss_s, new_sn
 
@@ -209,9 +222,10 @@ def make_gan_steps(config=None, lr=2e-4, b1=0.8, b2=0.99):
             y_hat_mel = loss_mel_fn(y_hat[:, 0, :])
             loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * 45.0
             df_r, df_g, fmap_f_r, fmap_f_g = mpd_forward(
-                d_params['mpd'], y, y_hat)
+                d_params['mpd'], y, y_hat, dtype=cdt)
             ds_r, ds_g, fmap_s_r, fmap_s_g, _ = msd_forward(
-                d_params['msd'], sn_state, y, y_hat, update_sn=False)
+                d_params['msd'], sn_state, y, y_hat, update_sn=False,
+                dtype=cdt)
             loss_fm = feature_loss(fmap_f_r, fmap_f_g) \
                 + feature_loss(fmap_s_r, fmap_s_g)
             loss_adv_f, _ = generator_loss(df_g)
@@ -231,12 +245,13 @@ def make_gan_steps(config=None, lr=2e-4, b1=0.8, b2=0.99):
 def finetune(data_dir, output_dir, generator_params, config=None,
              training_steps=1000, batch_size=16, lr=2e-4,
              checkpoint_interval=1000, log_interval=20, seed=1234,
-             val_names=None):
+             val_names=None, compute_dtype='float32'):
     """Run GAN fine-tuning; returns the fine-tuned (plain-kernel) generator
-    params."""
+    params. ``compute_dtype='bfloat16'`` enables mixed-precision steps."""
     os.makedirs(output_dir, exist_ok=True)
     cfg = config or DEFAULT_CONFIG
-    d_step, g_step, (optim_g, optim_d), loss_mel_fn = make_gan_steps(cfg, lr)
+    d_step, g_step, (optim_g, optim_d), loss_mel_fn = make_gan_steps(
+        cfg, lr, compute_dtype=compute_dtype)
 
     g_params_wn = generator_to_weight_norm(generator_params)
     rng = jax.random.PRNGKey(seed)

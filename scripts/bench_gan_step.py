@@ -4,8 +4,9 @@ Measures the two jitted optimization steps of the HiFi-GAN fine-tuning
 pipeline (reference trains these in torch: src/daft_exprt/vocoder/
 finetune_hifigan.py:215-243) at the reference's segment size.
 
-Usage: python scripts/bench_gan_step.py
+Usage: python scripts/bench_gan_step.py [--dtype bfloat16] [--batch 16]
 """
+import argparse
 import os
 import sys
 import time
@@ -20,7 +21,13 @@ from daft_exprt_tpu.vocoder_finetune import (
 from daft_exprt_tpu.models.hifigan import init_generator_params
 from daft_exprt_tpu.models.discriminators import init_mpd_params, init_msd_params
 
-B = 16
+ap = argparse.ArgumentParser()
+ap.add_argument('--dtype', default='float32',
+                choices=('float32', 'bfloat16'),
+                help='mixed-precision conv compute for G and D')
+ap.add_argument('--batch', type=int, default=16)
+args = ap.parse_args()
+B = args.batch
 rng = np.random.RandomState(0)
 mel = jnp.asarray(rng.randn(B, 80, SEGMENT_SIZE // 256).astype(np.float32))
 y = jnp.asarray(0.1 * rng.randn(B, 1, SEGMENT_SIZE).astype(np.float32))
@@ -29,10 +36,12 @@ y_mel = jnp.asarray(rng.randn(B, 80, SEGMENT_SIZE // 256).astype(np.float32))
 g = generator_to_weight_norm(init_generator_params(jax.random.PRNGKey(0)))
 msd, sn = init_msd_params(jax.random.PRNGKey(1))
 d = {"mpd": init_mpd_params(jax.random.PRNGKey(2)), "msd": msd}
-d_step, g_step, (optim_g, optim_d), _ = make_gan_steps()
+d_step, g_step, (optim_g, optim_d), _ = make_gan_steps(
+    compute_dtype=args.dtype)
 g_opt = optim_g.init(g)
 d_opt = optim_d.init(d)
-print('device', jax.devices()[0], 'B', B, 'seg', SEGMENT_SIZE, flush=True)
+print('device', jax.devices()[0], 'B', B, 'seg', SEGMENT_SIZE,
+      'dtype', args.dtype, flush=True)
 
 def one_iter(d, d_opt, sn, g, g_opt):
     d, d_opt, sn, d_loss = d_step(d, d_opt, sn, g, mel, y)

@@ -162,3 +162,52 @@ def test_finetune_dataset_and_gan_smoke(tmp_path):
     for d_loss, g_loss, mel_l1 in losses:
         assert np.isfinite(d_loss) and np.isfinite(g_loss)
         assert mel_l1 > 0
+
+
+def test_gan_steps_bf16_mixed_precision():
+    """bf16-compute GAN steps: finite losses close to the f32 steps at
+    init, params/optimizer stay f32, and the SN state still updates."""
+    import jax
+    from daft_exprt_tpu.models.discriminators import (
+        init_mpd_params, init_msd_params)
+    from daft_exprt_tpu.models.hifigan import init_generator_params
+    from daft_exprt_tpu.vocoder_finetune import (
+        generator_to_weight_norm, make_gan_steps)
+
+    small_cfg = {
+        'sampling_rate': 22050, 'upsample_rates': [8, 2],
+        'upsample_kernel_sizes': [16, 4],
+        'upsample_initial_channel': 16, 'resblock': '1',
+        'resblock_kernel_sizes': [3], 'resblock_dilation_sizes': [[1, 3]],
+        'model_in_dim': 80,
+    }
+    rng = np.random.RandomState(0)
+    B, T = 2, 2048
+    mel = rng.randn(B, 80, T // 16).astype(np.float32)
+    y = (0.1 * rng.randn(B, 1, T)).astype(np.float32)
+
+    g_wn = generator_to_weight_norm(
+        init_generator_params(jax.random.PRNGKey(0), small_cfg))
+    d_params = {'mpd': init_mpd_params(jax.random.PRNGKey(1))}
+    msd_params, sn_state = init_msd_params(jax.random.PRNGKey(1))
+    d_params['msd'] = msd_params
+
+    results = {}
+    for dtype in ('float32', 'bfloat16'):
+        d_step, g_step, (og, od), loss_mel_fn = make_gan_steps(
+            small_cfg, lr=1e-4, compute_dtype=dtype)
+        y_mel = loss_mel_fn(y[:, 0, :])
+        dp, sn = jax.tree_util.tree_map(lambda x: x, d_params), sn_state
+        d_opt, g_opt = od.init(dp), og.init(g_wn)
+        dp2, d_opt2, sn2, d_loss = d_step(dp, d_opt, sn, g_wn, mel, y)
+        g2, g_opt2, g_loss, mel_l1 = g_step(g_wn, g_opt, dp2, sn2, mel, y,
+                                            y_mel)
+        leaves = jax.tree_util.tree_leaves((dp2, g2))
+        assert all(l.dtype == np.float32 for l in leaves)
+        assert not np.allclose(np.asarray(sn['scale_0']['conv_0']),
+                               np.asarray(sn2['scale_0']['conv_0']))
+        results[dtype] = (float(d_loss), float(g_loss), float(mel_l1))
+    f32, b16 = results['float32'], results['bfloat16']
+    assert np.isfinite(b16).all()
+    for a, b in zip(f32, b16):
+        assert abs(a - b) < 0.1 * max(abs(a), 1.0), (f32, b16)
