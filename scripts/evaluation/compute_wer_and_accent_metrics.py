@@ -172,6 +172,38 @@ def dtw_distance(feat_a, feat_b):
     return float(cost[n, m] / (n + m))
 
 
+def whisper_encoder_features(whisper_model, wav_path):
+    """Whisper-encoder feature sequence for DTW accent-distance
+    (reference: compute_wer_and_accent_metrics.py:955-999)."""
+    import torch
+    import whisper
+    audio = whisper.load_audio(wav_path)
+    audio = whisper.pad_or_trim(audio)
+    mel = whisper.log_mel_spectrogram(
+        audio, n_mels=whisper_model.dims.n_mels).to(whisper_model.device)
+    with torch.no_grad():
+        feats = whisper_model.encoder(mel[None])
+    return feats[0].cpu().numpy()
+
+
+def nisqa_scores(nisqa_cls, wav_path):
+    """NISQA MOS/NOI/DIS/COL/LOUD for one file; soft-fails to None
+    (reference: compute_wer_and_accent_metrics.py:1100-1203)."""
+    try:
+        model = nisqa_cls({'mode': 'predict_file', 'pretrained_model':
+                           'nisqa.tar', 'deg': wav_path, 'ms_channel': None,
+                           'output_dir': None})
+        df = model.predict()
+        row = df.iloc[0]
+        return {f'nisqa_{k.lower()}': float(row[c])
+                for k, c in (('MOS', 'mos_pred'), ('NOI', 'noi_pred'),
+                             ('DIS', 'dis_pred'), ('COL', 'col_pred'),
+                             ('LOUD', 'loud_pred')) if c in df.columns}
+    except Exception as exc:                         # noqa: BLE001
+        _logger.warning(f'NISQA failed on {wav_path}: {exc}')
+        return {}
+
+
 # ----------------------------------------------------------------------
 # main harness
 # ----------------------------------------------------------------------
@@ -190,8 +222,10 @@ def evaluate(args):
         entries = [line.strip().split('|') for line in f if line.strip()]
     # manifest: generated_wav|transcript[|reference_wav]
 
-    whisper_model = load_whisper(args.whisper_model) if args.wer else None
+    whisper_model = load_whisper(args.whisper_model) \
+        if (args.wer or args.whisper_dtw) else None
     accent_clf = load_accent_classifier() if args.accent_id else None
+    nisqa_cls = load_nisqa() if args.nisqa else None
 
     model = params = None
     if args.checkpoint:
@@ -206,10 +240,19 @@ def evaluate(args):
         row = {'file': gen_path}
         row.update(prosody_metrics(wav, fs, hparams,
                                    pitch_method=args.pitch_method))
-        if whisper_model is not None:
+        if whisper_model is not None and args.wer:
             result = whisper_model.transcribe(gen_path)
             row['wer'] = word_error_rate(transcript, result['text'])
             wers.append(row['wer'])
+        if nisqa_cls is not None:
+            row.update(nisqa_scores(nisqa_cls, gen_path))
+        if whisper_model is not None and args.whisper_dtw and ref_path:
+            try:
+                row['whisper_dtw_dist'] = dtw_distance(
+                    whisper_encoder_features(whisper_model, gen_path),
+                    whisper_encoder_features(whisper_model, ref_path))
+            except Exception as exc:                 # noqa: BLE001
+                _logger.warning(f'whisper DTW failed on {gen_path}: {exc}')
         if accent_clf is not None:
             out_prob, score, index, label = accent_clf.classify_file(gen_path)
             row['accent_label'] = str(label[0]) if hasattr(label, '__len__') \
@@ -242,6 +285,12 @@ def evaluate(args):
         'accent_confidence': agg('accent_confidence'),
         'target_accent_prob': agg('target_accent_prob'),
         'accent_emb_cosine_dist': agg('accent_emb_cosine_dist'),
+        'whisper_dtw_dist': agg('whisper_dtw_dist'),
+        'nisqa_mos': agg('nisqa_mos'),
+        'nisqa_noi': agg('nisqa_noi'),
+        'nisqa_dis': agg('nisqa_dis'),
+        'nisqa_col': agg('nisqa_col'),
+        'nisqa_loud': agg('nisqa_loud'),
         'per_utterance': per_utt,
     }
     report_path = os.path.join(args.output_dir, 'evaluation_report.json')
@@ -277,6 +326,11 @@ if __name__ == '__main__':
                              'distance')
     parser.add_argument('--wer', action='store_true')
     parser.add_argument('--accent_id', action='store_true')
+    parser.add_argument('--nisqa', action='store_true',
+                        help='NISQA MOS/NOI/DIS/COL/LOUD (gated import)')
+    parser.add_argument('--whisper_dtw', action='store_true',
+                        help='Whisper-encoder DTW distance to the '
+                             'reference wav (manifest column 3)')
     parser.add_argument('--target_accent', type=str, default='')
     parser.add_argument('--whisper_model', type=str, default='base')
     parser.add_argument('--pitch_method', type=str, default='auto')

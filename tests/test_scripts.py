@@ -158,3 +158,49 @@ def test_cli_help_surfaces():
             [sys.executable, os.path.join(REPO, 'scripts', script),
              '--help'], capture_output=True, text=True, timeout=120)
         assert result.returncode == 0, f'{script}: {result.stderr[-400:]}'
+
+
+def test_dtw_distance():
+    from scripts.evaluation.compute_wer_and_accent_metrics import (
+        dtw_distance)
+    a = np.array([[0.0], [1.0], [2.0]])
+    assert dtw_distance(a, a) == 0.0
+    # time-warped copy still aligns cheaply; mismatched values do not
+    b = np.array([[0.0], [0.0], [1.0], [2.0], [2.0]])
+    assert dtw_distance(a, b) == 0.0
+    c = np.array([[5.0], [6.0], [7.0]])
+    assert dtw_distance(a, c) > 1.0
+
+
+def test_evaluate_prosody_only(tmp_path):
+    """End-to-end evaluate() without any gated model-zoo externals:
+    prosody metrics + JSON report + histogram plots."""
+    import argparse
+    from daft_exprt_tpu.frontend.audio import save_wav
+    from scripts.evaluation.compute_wer_and_accent_metrics import evaluate
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    rng = np.random.RandomState(0)
+    lines = []
+    for i, f0 in enumerate((150.0, 220.0)):
+        wav = (0.3 * np.sin(2 * np.pi * f0 * t)
+               * (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t))
+               + 0.01 * rng.randn(len(t))).astype(np.float32)
+        p = tmp_path / f'gen{i}.wav'
+        save_wav(str(p), wav, sr)
+        lines.append(f'{p}|hello world')
+    manifest = tmp_path / 'manifest.txt'
+    manifest.write_text('\n'.join(lines))
+
+    args = argparse.Namespace(
+        manifest=str(manifest), output_dir=str(tmp_path / 'out'),
+        checkpoint='', wer=False, accent_id=False, nisqa=False,
+        whisper_dtw=False, target_accent='', whisper_model='base',
+        pitch_method='device')
+    report = evaluate(args)
+    assert report['n_utterances'] == 2
+    assert report['pitch_std_semitones']['n'] == 2
+    assert report['energy_npvi']['mean'] > 0
+    assert (tmp_path / 'out' / 'evaluation_report.json').exists()
+    assert (tmp_path / 'out' / 'hist_energy_npvi.png').exists()
