@@ -21,7 +21,10 @@ def main():
     from daft_exprt_tpu.models.hifigan import (
         generator_forward, init_generator_params)
 
-    hp, model = _full_size_model()
+    parity = os.environ.get('BENCH_DTYPE') == 'float32'
+    # throughput path: fused pallas attention in the acoustic model too
+    # (14.2 -> 10.6 ms/run at B=32; parity path keeps the XLA attention)
+    hp, model = _full_size_model(fused_attention=not parity)
     # BENCH_BATCH=1 measures the BASELINE.md batch-1 RTF config; the
     # default (driver) config is batch 128 (batch sweep: 32 → 1434,
     # 64 → 1507, 128 → 1554 audio-s/s — fixed dispatch/acoustic overhead
@@ -38,9 +41,10 @@ def main():
                   'energy_preds', 'pitch_preds', 'input_lengths',
                   'output_lengths')
 
-    def acoustic(params, b):
-        return model.apply(
-            {'params': params}, method=model.inference,
+    def acoustic(params, b, m=None):
+        m = m or model
+        return m.apply(
+            {'params': params}, method=m.inference,
             symbols=b['symbols'], duration_preds=b['durations_float'],
             durations_int=b['durations_int'],
             energy_preds=b['symbols_energy'],
@@ -48,7 +52,7 @@ def main():
             input_lengths=b['input_lengths'],
             output_lengths=b['output_lengths'], n_frames=T,
             spk_embs=b['spk_embs'],
-            accent_emb=b['spk_embs'][:, :model.hidden_dim],
+            accent_emb=b['spk_embs'][:, :m.hidden_dim],
             deterministic=True)['mel_preds']
 
     import jax.numpy as jnp
@@ -59,7 +63,6 @@ def main():
     # path (one HBM pass per upsample level). BENCH_DTYPE=float32 selects
     # the parity-exact XLA f32 path, chunked so peak HBM stays under the
     # 16 GB/chip budget (f32 activations are ~0.7 GB/utterance at T=1024).
-    parity = os.environ.get('BENCH_DTYPE') == 'float32'
     voc_dtype = jnp.float32 if parity else jnp.bfloat16
     use_pallas = not parity
     VOC_CHUNK = int(os.environ.get('BENCH_VOC_CHUNK',
@@ -87,9 +90,9 @@ def main():
         out['spk_embs'] = b['spk_embs'] + np.float32(i * 1e-3)
         return out
 
-    # warmup / compile (fetch forces completion). If the Pallas path fails
+    # warmup / compile (fetch forces completion). If any Pallas path fails
     # to compile on this worker (tunnel flake), fall back to the XLA bf16
-    # path rather than recording nothing.
+    # paths (vocoder AND attention) rather than recording nothing.
     try:
         float(pipeline(params, voc_params, batch))
     except Exception as exc:                          # pragma: no cover
@@ -98,7 +101,21 @@ def main():
         print(f'# pallas path failed ({type(exc).__name__}), '
               f'falling back to XLA', file=sys.stderr)
         use_pallas = False
-        pipeline = jax.jit(pipeline.__wrapped__)
+        _, model_xla = _full_size_model(fused_attention=False)
+
+        @jax.jit
+        def pipeline(params, voc_params, b):
+            mel = acoustic(params, b, m=model_xla)
+            vp = jax.tree_util.tree_map(lambda x: x.astype(voc_dtype),
+                                        voc_params)
+            acc = jnp.float32(0.0)
+            for i in range(0, B, VOC_CHUNK):
+                wav = generator_forward(
+                    vp, mel[i:i + VOC_CHUNK].astype(voc_dtype),
+                    use_pallas=False)
+                acc = acc + jnp.sum(jnp.abs(wav.astype(jnp.float32)))
+            return acc
+
         float(pipeline(params, voc_params, batch))
 
     runs = 5

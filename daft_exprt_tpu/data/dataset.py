@@ -225,9 +225,59 @@ class BatchIterator:
             yield collate_batch(items, self.hparams, bucket=self.bucket)
 
 
+class PrefetchIterator:
+    """Background-thread batch prefetch with a bounded queue — the
+    equivalent of the reference's DataLoader ``num_workers``
+    (reference: src/daft_exprt/train.py:302): file reads + collation
+    overlap the device step instead of sitting on the critical path
+    between steps. NumPy IO releases the GIL, so one thread suffices.
+
+    Wraps any re-iterable; ``set_epoch``/``__len__`` pass through.
+    """
+
+    def __init__(self, inner, depth=2):
+        self.inner = inner
+        self.depth = depth
+
+    def set_epoch(self, epoch):
+        if hasattr(self.inner, 'set_epoch'):
+            self.inner.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        import queue
+        import threading
+        q = queue.Queue(maxsize=self.depth)
+        DONE, ERROR = object(), object()
+
+        def worker():
+            try:
+                for item in self.inner:
+                    q.put(item)
+                q.put(DONE)
+            except BaseException as exc:              # noqa: BLE001
+                q.put((ERROR, exc))
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is ERROR:
+                raise item[1]
+            yield item
+        t.join()
+
+
 def prepare_data_iterators(hparams, batch_size=None, host_id=0, num_hosts=1,
-                           bucket=True):
-    """Train/validation iterators over the configured file lists."""
+                           bucket=True, prefetch=2):
+    """Train/validation iterators over the configured file lists.
+    ``prefetch`` > 0 wraps the train iterator in a background-thread
+    prefetcher of that depth (validation stays synchronous)."""
     batch_size = batch_size or hparams.batch_size
     train_set = DaftExprtDataset(hparams.training_files, hparams,
                                  shuffle=True, normalize=False)
@@ -236,6 +286,8 @@ def prepare_data_iterators(hparams, batch_size=None, host_id=0, num_hosts=1,
     train_it = BatchIterator(train_set, hparams, batch_size, shuffle=True,
                              drop_last=True, host_id=host_id,
                              num_hosts=num_hosts, bucket=bucket)
+    if prefetch:
+        train_it = PrefetchIterator(train_it, depth=prefetch)
     val_it = BatchIterator(val_set, hparams, batch_size, shuffle=False,
                            drop_last=False, host_id=host_id,
                            num_hosts=num_hosts, bucket=bucket)

@@ -73,3 +73,42 @@ def test_create_sets_and_stats(synth, tmp_path):
         assert stats[spk]['pitch']['std'] > 0
     path = save_stats(stats, str(tmp_path / 'exp'))
     assert os.path.isfile(path)
+
+
+def test_prefetch_iterator_matches_inner():
+    """PrefetchIterator yields identical batches in order across epochs
+    and propagates worker exceptions."""
+    from daft_exprt_tpu.data.dataset import PrefetchIterator
+
+    class Fake:
+        def __init__(self):
+            self.epoch = 0
+
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def __len__(self):
+            return 4
+
+        def __iter__(self):
+            base = self.epoch * 10
+            for i in range(4):
+                yield base + i
+
+    inner = Fake()
+    pf = PrefetchIterator(inner, depth=2)
+    assert len(pf) == 4
+    assert list(pf) == [0, 1, 2, 3]
+    pf.set_epoch(2)
+    assert list(pf) == [20, 21, 22, 23]
+
+    class Boom:
+        def __iter__(self):
+            yield 1
+            raise RuntimeError('bad sample')
+
+    import pytest as _pytest
+    it = iter(PrefetchIterator(Boom()))
+    assert next(it) == 1
+    with _pytest.raises(RuntimeError, match='bad sample'):
+        next(it)
