@@ -470,7 +470,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     """
     if in_phase:
         B, PC, Tq = x.shape
-        C, T = PC // p, PC // p * p * Tq
+        C = PC // p
         xp = x
     else:
         B, C, T = x.shape
