@@ -23,8 +23,11 @@ def main():
 
     parity = os.environ.get('BENCH_DTYPE') == 'float32'
     # throughput path: fused pallas attention in the acoustic model too
-    # (14.2 -> 10.6 ms/run at B=32; parity path keeps the XLA attention)
-    hp, model = _full_size_model(fused_attention=not parity)
+    # (14.2 -> 10.6 ms/run at B=32; parity path keeps the XLA attention);
+    # BENCH_FUSED_ATTN=0 forces the XLA attention path
+    fused_attn = (not parity
+                  and os.environ.get('BENCH_FUSED_ATTN', '1') != '0')
+    hp, model = _full_size_model(fused_attention=fused_attn)
     # BENCH_BATCH=1 measures the BASELINE.md batch-1 RTF config; the
     # default (driver) config is batch 128 (batch sweep: 32 → 1434,
     # 64 → 1507, 128 → 1554 audio-s/s — fixed dispatch/acoustic overhead
