@@ -250,27 +250,49 @@ class PrefetchIterator:
         import queue
         import threading
         q = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         DONE, ERROR = object(), object()
+
+        def put(item):
+            # bounded put that aborts when the consumer went away, so an
+            # early `break` out of the epoch (train.py ends mid-epoch on
+            # the final iteration) cannot leak a blocked thread + batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.inner:
-                    q.put(item)
-                q.put(DONE)
+                    if not put(item):
+                        return
+                put(DONE)
             except BaseException as exc:              # noqa: BLE001
-                q.put((ERROR, exc))
+                put((ERROR, exc))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is DONE:
-                break
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] is ERROR:
-                raise item[1]
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] is ERROR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():      # unblock a put-in-progress
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 def prepare_data_iterators(hparams, batch_size=None, host_id=0, num_hosts=1,

@@ -150,8 +150,11 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
     cfg = config or DEFAULT_CONFIG
     num_kernels = len(cfg['resblock_kernel_sizes'])
     resblock = _resblock1 if cfg['resblock'] == '1' else _resblock2
+    # DAFT_MRF_PHASE=0 is the phase-kernel kill switch — it must disable
+    # the chain too, not just the internal-relayout branch in _pallas_mrf
     chain = use_pallas and cfg['resblock'] == '1' and \
-        os.environ.get('DAFT_PHASE_CHAIN', '1') != '0'
+        os.environ.get('DAFT_PHASE_CHAIN', '1') != '0' and \
+        os.environ.get('DAFT_MRF_PHASE', '1') != '0'
 
     x = _conv1d(mel, params['conv_pre']['w'], params['conv_pre']['b'])
     cur_p = 1        # current phase depth of x: (B, cur_p*C, T/cur_p)

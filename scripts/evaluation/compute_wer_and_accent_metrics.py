@@ -158,18 +158,38 @@ def accent_embedding_cosine(model, params, hparams, wav_a, wav_b,
 
 
 def dtw_distance(feat_a, feat_b):
-    """DTW over feature sequences (used with Whisper encoder features,
-    reference: compute_wer_and_accent_metrics.py:955-999)."""
-    a, b = np.asarray(feat_a), np.asarray(feat_b)
-    n, m = len(a), len(b)
+    """Cosine-metric DTW over feature sequences, normalized by the
+    warping-path length — matching the reference's
+    librosa.sequence.dtw(metric='cosine') + total_cost/len(wp)
+    (reference: compute_wer_and_accent_metrics.py:955-999).
+
+    Memory-light: the local-cost matrix is one (n, m) matmul of
+    unit-normalized rows (never an (n, m, d) broadcast)."""
+    a = np.asarray(feat_a, dtype=np.float64)
+    b = np.asarray(feat_b, dtype=np.float64)
+    a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    dist = 1.0 - a @ b.T                              # (n, m) cosine dist
+    n, m = dist.shape
     cost = np.full((n + 1, m + 1), np.inf)
     cost[0, 0] = 0.0
-    dist = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
     for i in range(1, n + 1):
+        row = cost[i]
+        prev = cost[i - 1]
+        d = dist[i - 1]
+        acc = np.inf
         for j in range(1, m + 1):
-            cost[i, j] = dist[i - 1, j - 1] + min(
-                cost[i - 1, j], cost[i, j - 1], cost[i - 1, j - 1])
-    return float(cost[n, m] / (n + m))
+            acc = d[j - 1] + min(prev[j], prev[j - 1], acc)
+            row[j] = acc
+    # backtrack for the warping-path length (reference normalizes by it)
+    i, j, steps = n, m, 0
+    while i > 1 or j > 1:
+        moves = ((cost[i - 1, j - 1], i - 1, j - 1),
+                 (cost[i - 1, j], i - 1, j),
+                 (cost[i, j - 1], i, j - 1))
+        _, i, j = min(moves)
+        steps += 1
+    return float(cost[n, m] / max(steps + 1, 1))
 
 
 def whisper_encoder_features(whisper_model, wav_path):
@@ -186,22 +206,20 @@ def whisper_encoder_features(whisper_model, wav_path):
     return feats[0].cpu().numpy()
 
 
-def nisqa_scores(nisqa_cls, wav_path):
-    """NISQA MOS/NOI/DIS/COL/LOUD for one file; soft-fails to None
+def nisqa_scores(nisqa_cls, wav_path, checkpoint='nisqa.tar'):
+    """NISQA MOS/NOI/DIS/COL/LOUD for one file; raises on failure so the
+    caller can disable the metric after the first error instead of
+    emitting one warning per utterance
     (reference: compute_wer_and_accent_metrics.py:1100-1203)."""
-    try:
-        model = nisqa_cls({'mode': 'predict_file', 'pretrained_model':
-                           'nisqa.tar', 'deg': wav_path, 'ms_channel': None,
-                           'output_dir': None})
-        df = model.predict()
-        row = df.iloc[0]
-        return {f'nisqa_{k.lower()}': float(row[c])
-                for k, c in (('MOS', 'mos_pred'), ('NOI', 'noi_pred'),
-                             ('DIS', 'dis_pred'), ('COL', 'col_pred'),
-                             ('LOUD', 'loud_pred')) if c in df.columns}
-    except Exception as exc:                         # noqa: BLE001
-        _logger.warning(f'NISQA failed on {wav_path}: {exc}')
-        return {}
+    model = nisqa_cls({'mode': 'predict_file',
+                       'pretrained_model': checkpoint, 'deg': wav_path,
+                       'ms_channel': None, 'output_dir': None})
+    df = model.predict()
+    row = df.iloc[0]
+    return {f'nisqa_{k.lower()}': float(row[c])
+            for k, c in (('MOS', 'mos_pred'), ('NOI', 'noi_pred'),
+                         ('DIS', 'dis_pred'), ('COL', 'col_pred'),
+                         ('LOUD', 'loud_pred')) if c in df.columns}
 
 
 # ----------------------------------------------------------------------
@@ -222,10 +240,16 @@ def evaluate(args):
         entries = [line.strip().split('|') for line in f if line.strip()]
     # manifest: generated_wav|transcript[|reference_wav]
 
+    if args.whisper_dtw and not any(len(e) > 2 for e in entries):
+        _logger.warning('--whisper_dtw requested but the manifest has no '
+                        'reference-wav column (3rd field) — no DTW '
+                        'distances will be computed')
     whisper_model = load_whisper(args.whisper_model) \
         if (args.wer or args.whisper_dtw) else None
     accent_clf = load_accent_classifier() if args.accent_id else None
     nisqa_cls = load_nisqa() if args.nisqa else None
+    ref_feat_cache = {}        # reference wavs repeat across rows — cache
+                               # encoder features (reference: :966-976)
 
     model = params = None
     if args.checkpoint:
@@ -245,12 +269,21 @@ def evaluate(args):
             row['wer'] = word_error_rate(transcript, result['text'])
             wers.append(row['wer'])
         if nisqa_cls is not None:
-            row.update(nisqa_scores(nisqa_cls, gen_path))
+            try:
+                row.update(nisqa_scores(nisqa_cls, gen_path,
+                                        checkpoint=args.nisqa_checkpoint))
+            except Exception as exc:                 # noqa: BLE001
+                _logger.warning(f'NISQA failed ({exc}) — disabling the '
+                                'metric for the rest of the run')
+                nisqa_cls = None
         if whisper_model is not None and args.whisper_dtw and ref_path:
             try:
+                if ref_path not in ref_feat_cache:
+                    ref_feat_cache[ref_path] = whisper_encoder_features(
+                        whisper_model, ref_path)
                 row['whisper_dtw_dist'] = dtw_distance(
                     whisper_encoder_features(whisper_model, gen_path),
-                    whisper_encoder_features(whisper_model, ref_path))
+                    ref_feat_cache[ref_path])
             except Exception as exc:                 # noqa: BLE001
                 _logger.warning(f'whisper DTW failed on {gen_path}: {exc}')
         if accent_clf is not None:
@@ -328,6 +361,8 @@ if __name__ == '__main__':
     parser.add_argument('--accent_id', action='store_true')
     parser.add_argument('--nisqa', action='store_true',
                         help='NISQA MOS/NOI/DIS/COL/LOUD (gated import)')
+    parser.add_argument('--nisqa_checkpoint', type=str, default='nisqa.tar',
+                        help='path to the NISQA pretrained model weights')
     parser.add_argument('--whisper_dtw', action='store_true',
                         help='Whisper-encoder DTW distance to the '
                              'reference wav (manifest column 3)')

@@ -112,3 +112,27 @@ def test_prefetch_iterator_matches_inner():
     assert next(it) == 1
     with _pytest.raises(RuntimeError, match='bad sample'):
         next(it)
+
+
+def test_prefetch_iterator_early_break_no_thread_leak():
+    """Abandoning iteration mid-epoch (train.py's final-iteration break)
+    must stop the worker thread, not leave it blocked on a full queue."""
+    import gc
+    import threading
+    import time
+    from daft_exprt_tpu.data.dataset import PrefetchIterator
+
+    class Many:
+        def __iter__(self):
+            for i in range(1000):
+                yield np.zeros(1000) + i
+
+    before = threading.active_count()
+    for _ in range(5):
+        for x in PrefetchIterator(Many(), depth=2):
+            break                      # abandon mid-epoch
+    gc.collect()                       # finalize abandoned generators
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

@@ -161,15 +161,21 @@ def test_cli_help_surfaces():
 
 
 def test_dtw_distance():
+    """Cosine-metric DTW normalized by warping-path length (matching the
+    reference's librosa.sequence.dtw(metric='cosine') usage)."""
     from scripts.evaluation.compute_wer_and_accent_metrics import (
         dtw_distance)
-    a = np.array([[0.0], [1.0], [2.0]])
-    assert dtw_distance(a, a) == 0.0
-    # time-warped copy still aligns cheaply; mismatched values do not
-    b = np.array([[0.0], [0.0], [1.0], [2.0], [2.0]])
-    assert dtw_distance(a, b) == 0.0
-    c = np.array([[5.0], [6.0], [7.0]])
-    assert dtw_distance(a, c) > 1.0
+    a = np.array([[1.0, 0.0], [0.7, 0.7], [0.0, 1.0]])
+    assert dtw_distance(a, a) < 1e-12
+    # time-warped copy still aligns at ~zero cost
+    b = np.array([[1.0, 0.0], [1.0, 0.0], [0.7, 0.7], [0.0, 1.0],
+                  [0.0, 1.0]])
+    assert dtw_distance(a, b) < 1e-12
+    # anti-aligned directions cost ~2 per step
+    c = np.array([[-1.0, 0.0], [-0.7, -0.7], [0.0, -1.0]])
+    assert dtw_distance(a, c) > 0.5
+    # scale-invariance of the cosine metric
+    assert abs(dtw_distance(a, 100.0 * b)) < 1e-12
 
 
 def test_evaluate_prosody_only(tmp_path):
@@ -196,8 +202,8 @@ def test_evaluate_prosody_only(tmp_path):
     args = argparse.Namespace(
         manifest=str(manifest), output_dir=str(tmp_path / 'out'),
         checkpoint='', wer=False, accent_id=False, nisqa=False,
-        whisper_dtw=False, target_accent='', whisper_model='base',
-        pitch_method='device')
+        nisqa_checkpoint='nisqa.tar', whisper_dtw=False, target_accent='',
+        whisper_model='base', pitch_method='device')
     report = evaluate(args)
     assert report['n_utterances'] == 2
     assert report['pitch_std_semitones']['n'] == 2
