@@ -528,12 +528,6 @@ def phase_conv1d(x_p, w, b, p, dilation=1):
     assert PC == p * C_in, (PC, p, C_in)
     spec = _phase_conv_spec(k, dilation, p)
     xpad = jnp.pad(x_p, ((0, 0), (0, 0), (-spec['dmin'], spec['dmax'])))
-    stacked = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(xpad, u, Q, axis=2)
-         for u in range(spec['W'])], axis=1)     # (B, W*p*C_in, Q)
-    row0 = spec['j0'] * C_in
-    operand = jax.lax.dynamic_slice_in_dim(
-        stacked, row0, spec['kcols'] * C_in, axis=1)
     taps = jnp.transpose(w, (2, 0, 1))            # (k, out, in)
     if dilation > 1:
         z = jnp.zeros((k, dilation - 1, C_out, C_in), taps.dtype)
@@ -544,8 +538,21 @@ def phase_conv1d(x_p, w, b, p, dilation=1):
         C_out, (dilation * (k - 1) + 1) * C_in)
     rows = [jnp.pad(band, ((0, 0), (r * C_in, (p - 1 - r) * C_in)))
             for r in range(p)]
-    Wd = jnp.concatenate(rows, axis=0)            # (p*C_out, kcols*C_in)
-    y = jnp.einsum('oc,bcq->boq', Wd.astype(x_p.dtype), operand)
+    Wd = jnp.concatenate(rows, axis=0).astype(x_p.dtype)
+    # contract against the virtual phase stream one shifted slice at a
+    # time — a materialized W-fold stacked operand would cost W× the
+    # input in HBM writes+reads (≈6 GB per call at B=128 on the tail)
+    row0 = spec['j0'] * C_in
+    K = spec['kcols'] * C_in
+    y = None
+    for u in range(spec['W']):
+        lo = max(row0, u * PC)
+        hi = min(row0 + K, (u + 1) * PC)
+        if lo >= hi:
+            continue
+        xs = xpad[:, lo - u * PC: hi - u * PC, u:u + Q]
+        part = jnp.einsum('oc,bcq->boq', Wd[:, lo - row0:hi - row0], xs)
+        y = part if y is None else y + part
     return y + jnp.tile(b, p)[None, :, None].astype(y.dtype)
 
 
@@ -579,16 +586,21 @@ def conv_transpose1d_phase(x_p, w, b, stride, padding, p_in):
     dmax = max(d for *_, d in entries)
     W = dmax - dmin + 1
     xpad = jnp.pad(x_p, ((0, 0), (0, 0), (-dmin, dmax)))
-    stacked = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(xpad, u, U, axis=2)
-         for u in range(W)], axis=1)             # (B, W*p_in*C_in, U)
     Wb = jnp.zeros((po * C_out, W * p_in * C_in), x_p.dtype)
     wt = jnp.swapaxes(w, 0, 1).astype(x_p.dtype)  # (C_out, C_in, k)
     for r, j, a, d in entries:
         blk = (d - dmin) * p_in + a
         Wb = Wb.at[r * C_out:(r + 1) * C_out,
                    blk * C_in:(blk + 1) * C_in].set(wt[:, :, j])
-    y = jnp.einsum('oc,bcq->boq', Wb, stacked)
+    # sum of einsums over shifted slices (see phase_conv1d): avoids
+    # materializing the (B, W*p_in*C_in, U) stacked operand in HBM
+    pic = p_in * C_in
+    y = None
+    for u in range(W):
+        xs = xpad[:, :, u:u + U]
+        part = jnp.einsum('oc,bcq->boq',
+                          Wb[:, u * pic:(u + 1) * pic], xs)
+        y = part if y is None else y + part
     return y + jnp.tile(b, po)[None, :, None].astype(y.dtype)
 
 
