@@ -331,7 +331,8 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
             raise ValueError('provide --vocoder_checkpoint (no network '
                              'download in this environment) or '
                              '--use_griffin_lim')
-        vocoder = load_hifigan_vocoder(args.vocoder_checkpoint)
+        vocoder = load_hifigan_vocoder(args.vocoder_checkpoint,
+                                       fast=args.fast_vocoder or None)
 
     synthesizer = Synthesizer(model, params, hparams, vocoder=vocoder)
 
@@ -401,6 +402,10 @@ if __name__ == '__main__':
     parser.add_argument('-sid', '--speaker_id', type=int, default=0)
     parser.add_argument('--config_overrides', type=str, default='')
     parser.add_argument('--use_griffin_lim', action='store_true')
+    parser.add_argument('--fast_vocoder', action='store_true',
+                        help='bf16 + fused-Pallas vocoder path (~2.3x the '
+                             'exact f32 path on TPU; interior samples '
+                             'match to bf16 precision)')
     parser.add_argument('--vocoder_checkpoint', type=str, default='')
     parser.add_argument('--reduce_buzz', action='store_true')
     parser.add_argument('-bs', '--batch_size', type=int, default=50)

@@ -162,3 +162,19 @@ def test_generator_phase_chain_matches_xla():
     assert out.shape == ref.shape
     # fused-chain edge semantics only differ inside the receptive field
     assert np.abs(out[:, :, 256:-256] - ref[:, :, 256:-256]).max() < 1e-4
+
+
+def test_fast_vocoder_wrapper_close_to_exact():
+    """HiFiGanVocoder(fast=True) (bf16 + fused kernels, interpreted on
+    CPU) stays close to the exact f32 wrapper."""
+    cfg = {'sampling_rate': 22050, 'upsample_rates': [2, 2],
+           'upsample_kernel_sizes': [4, 4], 'upsample_initial_channel': 128,
+           'resblock': '1', 'resblock_kernel_sizes': [3],
+           'resblock_dilation_sizes': [[1, 3]], 'model_in_dim': 80}
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    mel = np.random.RandomState(3).randn(80, 256).astype(np.float32)
+    exact = HiFiGanVocoder(params=params, config=cfg).infer(mel)
+    fast = HiFiGanVocoder(params=params, config=cfg, fast=True).infer(mel)
+    assert fast.shape == exact.shape
+    assert np.abs(fast - exact).max() < 0.05
+    assert np.abs(fast - exact).mean() < 5e-3
