@@ -377,10 +377,10 @@ class HiFiGanVocoder:
             fast = os.environ.get('DAFT_FAST_VOCODER', '0') == '1'
         self.fast = bool(fast)
         if self.fast:
-            # Mosaic kernels have no CPU lowering — interpret them when
-            # the default device is CPU (tests / CPU smoke runs)
+            # Mosaic kernels only lower for TPU — interpret everywhere
+            # else (tests / CPU or GPU smoke runs)
             dev = jax.config.jax_default_device or jax.devices()[0]
-            interp = getattr(dev, 'platform', '') == 'cpu'
+            interp = getattr(dev, 'platform', '') not in ('tpu', 'axon')
 
             def run(p, m):
                 p16 = jax.tree_util.tree_map(
@@ -400,8 +400,20 @@ class HiFiGanVocoder:
         squeeze = mel.ndim == 2
         if squeeze:
             mel = mel[None]
+        T0 = mel.shape[-1]
+        if self.fast:
+            # bucket T to a multiple of 128 frames: keeps the Pallas tile
+            # selection on 128-lane granules for arbitrary utterance
+            # lengths AND caps jit retraces to a handful of buckets
+            # instead of one compile (~minutes on the tunnel) per unique
+            # length. Pad with the mel floor log(1e-5); crop the wav.
+            t_pad = -(-T0 // 128) * 128
+            if t_pad != T0:
+                mel = jnp.pad(mel, ((0, 0), (0, 0), (0, t_pad - T0)),
+                              constant_values=float(np.log(1e-5)))
+        hop = int(np.prod(self.config['upsample_rates']))
         audio = self._infer(self.params, mel)
-        audio = np.asarray(audio)[:, 0, :]
+        audio = np.asarray(audio)[:, 0, :T0 * hop]
         if squeeze:
             audio = audio[0]
         return np.clip(audio, -1.0, 1.0)

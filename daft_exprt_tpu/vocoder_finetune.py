@@ -199,12 +199,22 @@ def make_gan_steps(config=None, lr=2e-4, b1=0.8, b2=0.99,
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(data_axis))
+        n_shards = mesh.shape[data_axis]
 
         def jit_step(fn, n_repl, n_data, n_out):
-            return jax.jit(fn,
-                           in_shardings=(repl,) * n_repl
-                           + (data,) * n_data,
-                           out_shardings=(repl,) * n_out)
+            jitted = jax.jit(fn,
+                             in_shardings=(repl,) * n_repl
+                             + (data,) * n_data,
+                             out_shardings=(repl,) * n_out)
+
+            def checked(*args):
+                batch = args[n_repl].shape[0]
+                if batch % n_shards != 0:
+                    raise ValueError(
+                        f'global batch {batch} does not divide the mesh '
+                        f'{data_axis!r} axis ({n_shards} shards)')
+                return jitted(*args)
+            return checked
     else:
         def jit_step(fn, n_repl, n_data, n_out):
             return jax.jit(fn)

@@ -173,8 +173,18 @@ def test_fast_vocoder_wrapper_close_to_exact():
            'resblock_dilation_sizes': [[1, 3]], 'model_in_dim': 80}
     params = init_generator_params(jax.random.PRNGKey(0), cfg)
     mel = np.random.RandomState(3).randn(80, 256).astype(np.float32)
-    exact = HiFiGanVocoder(params=params, config=cfg).infer(mel)
+    exact = HiFiGanVocoder(params=params, config=cfg, fast=False).infer(mel)
     fast = HiFiGanVocoder(params=params, config=cfg, fast=True).infer(mel)
     assert fast.shape == exact.shape
     assert np.abs(fast - exact).max() < 0.05
     assert np.abs(fast - exact).mean() < 5e-3
+    # arbitrary (non-128-multiple) length: bucket-padded then cropped
+    mel_odd = mel[:, :137]
+    exact_odd = HiFiGanVocoder(params=params, config=cfg,
+                               fast=False).infer(mel_odd)
+    fast_odd = HiFiGanVocoder(params=params, config=cfg,
+                              fast=True).infer(mel_odd)
+    assert fast_odd.shape == exact_odd.shape == (137 * 4,)
+    # interior matches; the crop boundary sees pad frames in its
+    # receptive field
+    assert np.abs(fast_odd[:-64] - exact_odd[:-64]).max() < 0.05

@@ -81,6 +81,10 @@ def test_gan_steps_dp_mesh_match_single_device():
         results[name] = (float(d_loss), float(g_loss), float(mel_l1),
                          jax.tree_util.tree_leaves(g1)[0],
                          jax.tree_util.tree_leaves(d1)[0])
+    # non-divisible global batch fails fast with a clear message
+    import pytest
+    with pytest.raises(ValueError, match='does not divide'):
+        d_step(d0, od.init(d0), sn0, g_wn, mel[:6], y[:6])
     s, p = results['single'], results['mesh']
     assert abs(s[0] - p[0]) < 1e-4 * max(1.0, abs(s[0]))
     assert abs(s[1] - p[1]) < 1e-3 * max(1.0, abs(s[1]))
