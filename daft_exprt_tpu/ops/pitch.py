@@ -33,7 +33,7 @@ def _highpass_fir(sr, cutoff=80.0, numtaps=255):
 
 @functools.partial(jax.jit, static_argnames=(
     'frame_step', 'win', 'min_lag', 'max_lag', 'n_frames'))
-def _nccf(x, frame_step, win, min_lag, max_lag, n_frames):
+def _nccf(x, frame_step, win, min_lag, max_lag, n_frames, a_fact=0.0):
     """Normalized cross-correlation per frame and lag.
 
     x: (N,) highpassed signal. Returns (n_frames, n_lags) in [-1, 1].
@@ -43,6 +43,11 @@ def _nccf(x, frame_step, win, min_lag, max_lag, n_frames):
     own conv kernel) and the lagged energies from a cumulative sum — no
     per-lag gathers (the naive form moves n_lags × win × F elements
     through the gather unit, ~800 MB per utterance at REAPER parameters).
+
+    ``a_fact`` is RAPT's additive amplitude term in the denominator
+    (Talkin 1995's A_FACT): it damps the NCCF of low-energy frames so
+    breaths/room noise between words do not produce spuriously confident
+    lag candidates. 0 recovers the plain normalized correlation.
     """
     ext_len = win + max_lag + 1
     starts = jnp.arange(n_frames) * frame_step
@@ -62,7 +67,7 @@ def _nccf(x, frame_step, win, min_lag, max_lag, n_frames):
          jnp.cumsum(ext * ext, axis=1)], axis=1)
     lags = jnp.arange(min_lag, max_lag + 1)
     e1 = csum[:, lags + win] - csum[:, lags]                  # (F, n_lags)
-    return num[:, lags] / jnp.sqrt(e0[:, None] * e1 + 1e-9)
+    return num[:, lags] / (a_fact + jnp.sqrt(e0[:, None] * e1) + 1e-9)
 
 
 def _cummin_arg(vals, idxs):
@@ -76,7 +81,7 @@ def _cummin_arg(vals, idxs):
 
 
 @functools.partial(jax.jit, static_argnames=('n_lags',))
-def _viterbi(ncc, log_lags, uv_cost, n_lags):
+def _viterbi(ncc, log_lags, uv_cost, n_lags, local_uv=None):
     """Viterbi over (n_lags + 1) states (last = unvoiced) with the
     |log lag ratio| voiced transition cost, in O(n_lags) per frame.
 
@@ -84,14 +89,22 @@ def _viterbi(ncc, log_lags, uv_cost, n_lags):
     i ≥ j and each side is a running min of (prev ∓ u) — two cummins
     replace the dense (S, S) min-plus step (exact, not an approximation).
     ncc: (F, n_lags); log_lags: (n_lags,). Returns best states (F,).
+
+    ``local_uv``: per-frame local cost of the unvoiced state (F,). RAPT
+    prices the unvoiced hypothesis at VO_BIAS + max candidate NCCF, so a
+    frame with a confident lag makes unvoiced expensive while a noisy one
+    makes it cheap. None keeps the constant-``uv_cost`` local (legacy).
     """
     F = ncc.shape[0]
     u = log_lags
     local_v = 1.0 - ncc                                   # (F, n_lags)
+    if local_uv is None:
+        local_uv = jnp.full((F,), uv_cost, dtype=ncc.dtype)
     switch = jnp.asarray(uv_cost, dtype=ncc.dtype)
     idx0 = jnp.arange(n_lags)
 
-    def step(carry, local_t):
+    def step(carry, locals_t):
+        local_t, local_uv_t = locals_t
         prev_v, prev_uv = carry
         # lower envelope of prev_v under |u_j - u_i|
         fwd_v, fwd_i = _cummin_arg(prev_v - u, idx0)
@@ -108,14 +121,14 @@ def _viterbi(ncc, log_lags, uv_cost, n_lags):
         best_v_idx = jnp.argmin(prev_v)
         enter = prev_v[best_v_idx] + switch
         stay = prev_uv
-        new_uv = jnp.minimum(stay, enter) + uv_cost
+        new_uv = jnp.minimum(stay, enter) + local_uv_t
         bp_uv = jnp.where(stay <= enter, n_lags,
                           best_v_idx).astype(jnp.int32)
         return (new_v, new_uv), (bp_v, bp_uv)
 
-    init = (local_v[0], jnp.asarray(uv_cost, ncc.dtype))
+    init = (local_v[0], local_uv[0])
     (final_v, final_uv), (bps_v, bps_uv) = jax.lax.scan(
-        step, init, local_v[1:])
+        step, init, (local_v[1:], local_uv[1:]))
     backptrs = jnp.concatenate([bps_v, bps_uv[:, None]], axis=1)  # (F-1, S)
 
     last = jnp.where(jnp.min(final_v) <= final_uv,
@@ -132,19 +145,22 @@ def _viterbi(ncc, log_lags, uv_cost, n_lags):
 
 
 @functools.partial(jax.jit, static_argnames=('n_lags',))
-def _viterbi_dense(ncc, trans_cost, uv_cost, n_lags):
+def _viterbi_dense(ncc, trans_cost, uv_cost, n_lags, local_uv=None):
     """Dense Viterbi over (n_lags + 1) states; state n_lags = unvoiced.
 
     Reference implementation (O(S²) per frame) used to validate the
     envelope form. ncc: (F, n_lags) candidate scores. trans_cost:
-    (n_lags, n_lags) log-pitch-ratio costs. Returns best states (F,).
+    (n_lags, n_lags) log-pitch-ratio costs. ``local_uv``: per-frame
+    unvoiced local cost (None = constant uv_cost). Returns best states (F,).
     """
     F = ncc.shape[0]
-    # local cost: voiced state s: 1 - ncc[s] + octave penalty; uv: uv_cost.
+    # local cost: voiced state s: 1 - ncc[s] + octave penalty; uv: local_uv.
     # The small log-lag penalty breaks subharmonic ties toward the shorter
     # period (RAPT's doubling cost).
+    if local_uv is None:
+        local_uv = jnp.full((F,), uv_cost, dtype=ncc.dtype)
     local = jnp.concatenate(
-        [1.0 - ncc, jnp.full((F, 1), uv_cost)], axis=1)       # (F, S)
+        [1.0 - ncc, local_uv[:, None]], axis=1)               # (F, S)
 
     # transition: voiced→voiced = trans_cost; voiced↔unvoiced = uv switch
     S = n_lags + 1
@@ -200,14 +216,29 @@ class PitchTracker:
         # periods so exact subharmonics (octave errors) lose ties
         self.octave_cost = jnp.asarray(
             0.02 * np.log2(lags / self.min_lag), dtype=jnp.float32)
+        # RAPT amplitude/voicing constants (Talkin 1995), tuned against the
+        # reference REAPER binary on the bundled style-bank speech (voicing
+        # agreement 0.49-0.78 with the constant-cost model → 0.96 with
+        # these; median voiced-F0 deviation 0.8%):
+        #   a_coef: A_FACT as a fraction of win × mean-square signal level
+        #           (scale-invariant version of RAPT's fixed int16 constant)
+        #   vo_bias: bias added to max-NCCF to price the unvoiced state
+        self.a_coef = 2e-3
+        self.vo_bias = 0.0
 
-    def _pipeline(self, x, n_frames):
-        """(N,) highpassed signal → (n_frames,) F0 Hz. Pure jnp."""
+    def _pipeline(self, x, n_frames, mean_sq):
+        """(N,) highpassed signal → (n_frames,) F0 Hz. Pure jnp.
+        ``mean_sq``: mean squared amplitude of the unpadded signal (scalar),
+        used for the RAPT amplitude term."""
+        a_fact = self.a_coef * self.win * mean_sq
         ncc = _nccf(x, self.frame_step, self.win, self.min_lag, self.max_lag,
-                    n_frames)
+                    n_frames, a_fact=a_fact)
+        # unvoiced local cost from the raw (octave-penalty-free) scores
+        local_uv = self.vo_bias + jnp.maximum(jnp.max(ncc, axis=1), 0.0)
         ncc = ncc - self.octave_cost[None, :]
         states = _viterbi(ncc, self.log_lags,
-                          jnp.float32(self.uv_cost), self.n_lags)
+                          jnp.float32(self.uv_cost), self.n_lags,
+                          local_uv=local_uv)
         lags = jnp.arange(self.min_lag, self.max_lag + 1)
         return jnp.where(states < self.n_lags,
                          self.sr / lags[jnp.clip(states, 0,
@@ -215,15 +246,16 @@ class PitchTracker:
                          0.0)
 
     def _prepare(self, wavs):
-        """(B, N) → highpassed + padded (B, N'), n_frames."""
+        """(B, N) → highpassed + padded (B, N'), n_frames, mean_sq (B,)."""
         n = wavs.shape[-1]
         x = jax.vmap(lambda w: jnp.convolve(w, self.hp, mode='same'))(wavs)
+        mean_sq = jnp.mean(x * x, axis=-1)
         pad_needed = self.win + self.max_lag + 1
         n_frames = max(1, int(n // self.frame_step))
         total = (n_frames - 1) * self.frame_step + pad_needed
         if total > n:
             x = jnp.pad(x, ((0, 0), (0, total - n)))
-        return x, n_frames
+        return x, n_frames, mean_sq
 
     def batched_frame_f0(self, wavs):
         """wavs: (B, N) float32 → (B, n_frames) F0 Hz jnp array; the whole
@@ -231,10 +263,11 @@ class PitchTracker:
         throughput; ``frame_f0`` is the single-utterance convenience)."""
         wavs = jnp.asarray(wavs, dtype=jnp.float32)
         if not hasattr(self, '_batched_jit'):
-            self._batched_jit = jax.jit(
-                lambda w, n: jax.vmap(
-                    lambda xi: self._pipeline(xi, n))(self._prepare(w)[0]),
-                static_argnums=1)
+            def run(w, n):
+                x, _, ms = self._prepare(w)
+                return jax.vmap(
+                    lambda xi, mi: self._pipeline(xi, n, mi))(x, ms)
+            self._batched_jit = jax.jit(run, static_argnums=1)
         n_frames = max(1, int(wavs.shape[-1] // self.frame_step))
         return self._batched_jit(wavs, n_frames)
 
@@ -242,8 +275,8 @@ class PitchTracker:
         """wav: (N,) float32 → (n_frames,) F0 Hz (0 = unvoiced), one value
         per f0_interval."""
         wav = jnp.asarray(wav, dtype=jnp.float32)
-        x, n_frames = self._prepare(wav[None, :])
-        return np.asarray(self._pipeline(x[0], n_frames))
+        x, n_frames, mean_sq = self._prepare(wav[None, :])
+        return np.asarray(self._pipeline(x[0], n_frames, mean_sq[0]))
 
     def per_sample_f0(self, wav):
         """Binary-protocol output: per-sample int-valued F0 in Hz, -1 when

@@ -177,6 +177,21 @@ int main(int argc, char** argv) {
            0.0f);
 
   // ---- NCCF ----
+  // RAPT amplitude term (Talkin 1995's A_FACT, scale-invariant form):
+  // damps the NCCF of low-energy frames so breaths/room noise between
+  // words do not produce confident lag candidates. Constants tuned
+  // against the reference REAPER binary on real speech (voicing
+  // agreement 0.49-0.78 with the plain model -> 0.96); the JAX tracker
+  // (daft_exprt_tpu/ops/pitch.py) uses the same values.
+  const double kACoef = 2e-3;
+  const double kVoBias = 0.0;
+  double mean_sq = 0.0;
+  const size_t n_unpadded = wav.size();
+  for (size_t i = 0; i < n_unpadded; ++i)
+    mean_sq += static_cast<double>(x[i]) * x[i];
+  mean_sq /= std::max<size_t>(1, n_unpadded);
+  const double a_fact = kACoef * win * mean_sq;
+
   std::vector<float> ncc(static_cast<size_t>(n_frames) * n_lags);
   std::vector<double> prefix_sq(x.size() + 1, 0.0);
   for (size_t i = 0; i < x.size(); ++i)
@@ -184,18 +199,23 @@ int main(int argc, char** argv) {
   auto energy = [&](int start) {
     return prefix_sq[start + win] - prefix_sq[start];
   };
+  // per-frame unvoiced local cost: vo_bias + max candidate NCCF (RAPT)
+  std::vector<double> local_uv(n_frames);
   for (int fidx = 0; fidx < n_frames; ++fidx) {
     const int s = fidx * frame_step;
     const double e0 = energy(s);
+    double max_ncc = 0.0;
     for (int li = 0; li < n_lags; ++li) {
       const int lag = min_lag + li;
       double num = 0.0;
       for (int i = 0; i < win; ++i)
         num += static_cast<double>(x[s + i]) * x[s + i + lag];
       const double e1 = energy(s + lag);
-      ncc[static_cast<size_t>(fidx) * n_lags + li] =
-          static_cast<float>(num / std::sqrt(e0 * e1 + 1e-9));
+      const double v = num / (a_fact + std::sqrt(e0 * e1) + 1e-9);
+      ncc[static_cast<size_t>(fidx) * n_lags + li] = static_cast<float>(v);
+      if (v > max_ncc) max_ncc = v;
     }
+    local_uv[fidx] = kVoBias + max_ncc;
   }
 
   // ---- Viterbi over (lags + unvoiced) ----
@@ -213,7 +233,7 @@ int main(int argc, char** argv) {
     octave_cost[li] =
         0.02 * std::log2(static_cast<double>(min_lag + li) / min_lag);
   auto local = [&](int fidx, int s) -> double {
-    if (s == UV) return opt.uv_cost;
+    if (s == UV) return local_uv[fidx];
     return 1.0 - ncc[static_cast<size_t>(fidx) * n_lags + s] +
            octave_cost[s];
   };

@@ -63,8 +63,9 @@ def main():
             a, mel_ex.basis_r, mel_ex.basis_i, mel_fb_t, mel_ex.n_fft,
             mel_ex.hop, mel_ex.min_clipping))(wp)
         nrg = frame_energy(jnp.transpose(mel, (0, 2, 1)))
-        x, _ = tracker._prepare(w)
-        f0 = jax.vmap(lambda xi: tracker._pipeline(xi, n_frames))(x)
+        x, _, ms = tracker._prepare(w)
+        f0 = jax.vmap(lambda xi, mi: tracker._pipeline(xi, n_frames, mi))(
+            x, ms)
         return jnp.sum(mel) + jnp.sum(nrg) + jnp.sum(f0)
 
     w_dev = jnp.asarray(wavs)

@@ -126,9 +126,70 @@ def test_against_reference_binary(f0):
     ours, ref = ours[:n], ref[:n]
     both_voiced = (ours > 0) & (ref > 0)
     agreement = ((ours > 0) == (ref > 0)).mean()
-    assert agreement > 0.85, f'voicing agreement {agreement}'
+    assert agreement > 0.9, f"voicing agreement {agreement}"
     rel = np.abs(ours[both_voiced] - ref[both_voiced]) / ref[both_voiced]
     assert np.median(rel) < 0.05
+
+
+STYLE_BANK = '/root/reference/scripts/style_bank/english'
+
+
+def _style_wavs(n=4):
+    import glob
+    return sorted(glob.glob(os.path.join(STYLE_BANK, '*.wav')))[:n]
+
+
+@pytest.mark.skipif(not (os.access(REF_BINARY, os.X_OK) and _style_wavs()),
+                    reason='reference binary or style-bank audio unavailable')
+@pytest.mark.parametrize('tracker', ['native', 'device'])
+def test_real_speech_parity_vs_reference(tracker):
+    """Parity with the reference REAPER binary on REAL speech (the bundled
+    style-bank wavs): per-file voicing agreement > 0.9 and median voiced-F0
+    deviation < 2%. This is the bar that matters — the constant-uv-cost
+    model passed every synthetic test while over-voicing real speech to
+    0.49-0.78 agreement (fricatives/breaths have weak but nonzero NCCF)."""
+    if tracker == 'native' and not os.access(NATIVE_BINARY, os.X_OK):
+        pytest.skip('native binary not built')
+    import warnings
+    from daft_exprt_tpu.frontend.audio import load_wav
+    from daft_exprt_tpu.frontend.pitch import per_sample_f0_native
+    hp = make_hp()
+    for path in _style_wavs():
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            wav, sr = load_wav(path, target_sr=hp.sampling_rate)
+        wav = wav[:hp.sampling_rate * 3]
+        ref = per_sample_f0_native(wav, sr, hp,
+                                   binary=REF_BINARY).astype(np.float64)
+        if tracker == 'native':
+            ours = per_sample_f0_native(
+                wav, sr, hp, binary=NATIVE_BINARY).astype(np.float64)
+        else:
+            ours = per_sample_f0_device(wav, sr, hp).astype(np.float64)
+        n = min(len(ours), len(ref))
+        o, r = ours[:n], ref[:n]
+        agree = ((o > 0) == (r > 0)).mean()
+        assert agree > 0.9, f'{os.path.basename(path)}: voicing {agree:.3f}'
+        both = (o > 0) & (r > 0)
+        rel = np.abs(o[both] - r[both]) / r[both]
+        assert np.median(rel) < 0.02, \
+            f'{os.path.basename(path)}: median F0 dev {np.median(rel):.4f}'
+
+
+def test_low_energy_noise_unvoiced():
+    """Quiet broadband noise (a breath/room-tone stand-in) must be called
+    unvoiced even though max-NCCF over ~400 lags is well above zero."""
+    hp = make_hp()
+    rng = np.random.RandomState(7)
+    voiced = glottal_signal(150, dur=0.6)
+    noise = (0.02 * rng.randn(int(0.6 * SR))).astype(np.float32)
+    wav = np.concatenate([voiced, noise, voiced])
+    track = per_sample_f0_device(wav, SR, hp)
+    third = len(voiced)
+    assert (track[:third] > 0).mean() > 0.7
+    assert (track[third:2 * third] <= 0).mean() > 0.8, \
+        'noise segment over-voiced'
+    assert (track[2 * third:] > 0).mean() > 0.7
 
 
 def test_batched_frame_f0_matches_single():
@@ -167,6 +228,13 @@ def test_viterbi_envelope_matches_dense():
     ncc = jnp.asarray(rng.uniform(-0.5, 1.0, (F, n_lags)).astype(np.float32))
     uv = jnp.float32(0.9)
     a = np.asarray(_viterbi(ncc, log_lags, uv, n_lags))
+    # per-frame unvoiced local cost (the RAPT vo_bias + max-NCCF form)
+    local_uv = jnp.asarray(
+        rng.uniform(0.2, 1.0, (F,)).astype(np.float32))
+    a2 = np.asarray(_viterbi(ncc, log_lags, uv, n_lags, local_uv=local_uv))
+    b2 = np.asarray(_viterbi_dense(ncc, trans, uv, n_lags,
+                                   local_uv=local_uv))
+    np.testing.assert_array_equal(a2, b2)
     b = np.asarray(_viterbi_dense(ncc, trans, uv, n_lags))
     # optimal paths may differ only where costs tie exactly; with random
     # continuous scores they should be identical
