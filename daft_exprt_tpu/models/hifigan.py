@@ -158,6 +158,8 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
 
     x = _conv1d(mel, params['conv_pre']['w'], params['conv_pre']['b'])
     cur_p = 1        # current phase depth of x: (B, cur_p*C, T/cur_p)
+    n_ups = len(cfg['upsample_rates'])
+    post_done = False
     for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
                                    cfg['upsample_kernel_sizes'])):
         x = _lrelu(x)
@@ -175,8 +177,13 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 x, params[f'ups_{i}']['w'], params[f'ups_{i}']['b'],
                 stride=u, padding=(k - u) // 2, p_in=cur_p)
             cur_p = want_p
-            x = _pallas_mrf_phase(params, x, i, cfg, cur_p,
-                                  interpret=interpret)
+            # last level: fuse the tail (lrelu→conv_post→tanh) into the
+            # kernel epilogue when the halo margin allows
+            post = params['conv_post'] if (
+                i == n_ups - 1
+                and os.environ.get('DAFT_FUSE_POST', '1') != '0') else None
+            x, post_done = _pallas_mrf_phase(params, x, i, cfg, cur_p,
+                                             post=post, interpret=interpret)
             continue
         if cur_p > 1:
             from daft_exprt_tpu.ops.vocoder_kernels import from_phase
@@ -195,6 +202,10 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 y = resblock(rb, x, dil)
                 xs = y if xs is None else xs + y
             x = xs / num_kernels
+    if post_done:
+        # tail already applied in the fused epilogue; x is (B, p*1, T/p)
+        from daft_exprt_tpu.ops.vocoder_kernels import from_phase
+        return from_phase(x, cur_p)
     x = _lrelu(x)
     if cur_p > 1:
         from daft_exprt_tpu.ops.vocoder_kernels import (
@@ -214,10 +225,16 @@ def _phase_for(c):
     return min(8, 128 // c)
 
 
-def _pallas_mrf_phase(params, x_p, level, cfg, p, interpret=False):
-    """Fused phase-native MRF: x_p (B, p*C, Q) in, same layout out."""
+def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None,
+                      interpret=False):
+    """Fused phase-native MRF: x_p (B, p*C, Q) in, same layout out.
+
+    ``post``: the conv_post params dict — when given AND the chain halo
+    leaves enough margin, the generator tail (lrelu → conv_post → tanh)
+    fuses into the kernel epilogue. Returns (y_p, post_applied)."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
-        fused_mrf_phase, pack_mrf_phase_weights)
+        fused_mrf_phase, pack_mrf_phase_weights, pack_post_phase_weights,
+        phase_post_feasible)
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
     Q = x_p.shape[2]
@@ -228,11 +245,18 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, interpret=False):
         from daft_exprt_tpu.ops.vocoder_kernels import from_phase, to_phase
         x = from_phase(x_p, p)
         return to_phase(_pallas_mrf(params, x, level, cfg, len(ks), 8192,
-                                    interpret=interpret), p)
+                                    interpret=interpret), p), False
     weights = pack_mrf_phase_weights(params, level, ks, dils, p)
+    post_k = post['w'].shape[-1] if post is not None else 0
+    if post_k and phase_post_feasible(ks, dils, p, post_k, eff):
+        post_weights = pack_post_phase_weights(post['w'], post['b'], p)
+        return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
+                               in_phase=True, out_phase=True,
+                               post_weights=post_weights, post_k=post_k,
+                               interpret=interpret), True
     return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                            in_phase=True, out_phase=True,
-                           interpret=interpret)
+                           interpret=interpret), False
 
 
 def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):

@@ -388,6 +388,46 @@ def pack_mrf_phase_weights(params, level, kernel_sizes, dilations, p,
     return out
 
 
+def pack_post_phase_weights(w, b, p):
+    """conv_post weights (torch (C_out, C_in, k), d=1) → banded phase-p
+    matrix (p*C_out, kcols*C_in) + bias (p*C_out, 1), same construction as
+    :func:`pack_mrf_phase_weights`, for the fused conv_post epilogue."""
+    C_out, C_in, k = w.shape
+    taps = jnp.transpose(w, (2, 0, 1))                   # (k, out, in)
+    band = jnp.transpose(taps, (1, 0, 2)).reshape(C_out, k * C_in)
+    rows = [jnp.pad(band, ((0, 0), (r * C_in, (p - 1 - r) * C_in)))
+            for r in range(p)]
+    Wd = jnp.concatenate(rows, axis=0)                   # (p*C_out, kcols*C)
+    return Wd, jnp.tile(b, p)[:, None]
+
+
+def _phase_chain_geometry(kernel_sizes, dilations, p, tile, halo):
+    """Static per-block (off, cur_len) after the fused chain."""
+    geo = []
+    for k, dils in zip(kernel_sizes, dilations):
+        off, cur_len = 0, tile + 2 * halo
+        for d in dils:
+            s1 = _phase_conv_spec(k, d, p)
+            s2 = _phase_conv_spec(k, 1, p)
+            off += -s1['dmin'] - s2['dmin']
+            cur_len -= (s1['W'] - 1) + (s2['W'] - 1)
+        geo.append((off, cur_len))
+    return geo
+
+
+def phase_post_feasible(kernel_sizes, dilations, p, post_k, tile):
+    """True when the chain halo leaves enough margin to run the conv_post
+    epilogue (lrelu → conv_post → tanh) inside the fused kernel."""
+    halo = phase_chain_halo(kernel_sizes, dilations, p)
+    sp = _phase_conv_spec(post_k, 1, p)
+    for off, cur_len in _phase_chain_geometry(kernel_sizes, dilations, p,
+                                              tile, halo):
+        start = halo + sp['dmin'] - off
+        if start < 0 or start + tile + sp['W'] - 1 > cur_len:
+            return False
+    return True
+
+
 def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
     """One dilated conv as a single banded matmul in phase-p layout.
 
@@ -405,15 +445,23 @@ def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
     return acc + b_ref[:]
 
 
-def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C):
+def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
+                            post_k=0):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
-    HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ... + o_ref +
-    x_scratch + sem + stack_ref."""
+    HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
+    [+ Wd_post, b_post when post_k] + o_ref + x_scratch + sem + stack_ref.
+
+    With ``post_k`` set, the generator tail (lrelu → conv_post → tanh) runs
+    as an epilogue on the accumulated tile before the HBM write — the
+    output shrinks from (p*C, tile) to (p*C_out, tile), removing the whole
+    post-chain's HBM round trip (conv_post's FLOPs are negligible but its
+    XLA chain cost ~140 ms of the 909 ms B=128 vocoder)."""
     n_w = 4 * sum(len(d) for d in dils)
-    o_ref = refs[n_w]
-    x_scratch = refs[n_w + 1]
-    sem = refs[n_w + 2]
-    stack_ref = refs[n_w + 3]
+    n_post = 2 if post_k else 0
+    o_ref = refs[n_w + n_post]
+    x_scratch = refs[n_w + n_post + 1]
+    sem = refs[n_w + n_post + 2]
+    stack_ref = refs[n_w + n_post + 3]
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -422,6 +470,12 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C):
         x_scratch, sem)
     copy.start()
     copy.wait()
+
+    # with the epilogue, accumulate an extended window so conv_post's
+    # receptive field is fed by real neighbor data from the halo
+    sp = _phase_conv_spec(post_k, 1, p) if post_k else None
+    ext = (sp['W'] - 1) if post_k else 0
+    a0 = sp['dmin'] if post_k else 0         # window start vs tile start
 
     cdt = x_scratch.dtype
     x0 = x_scratch[:]                        # (p*C, tile + 2*halo)
@@ -447,16 +501,26 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C):
             cur = cur[:, shift:shift + L2] + a2
             cur_len = L2
             off += shift
-        tile_out = cur[:, halo - off: halo - off + tile]
+        start = halo + a0 - off
+        tile_out = cur[:, start: start + tile + ext]
         acc_out = tile_out if acc_out is None else acc_out + tile_out
-    o_ref[0, :, :] = (acc_out * (1.0 / nb)).astype(o_ref.dtype)
+    acc_out = acc_out * (1.0 / nb)
+    if post_k:
+        wd_post, b_post = refs[n_w:n_w + 2]
+        t_in = _lrelu(acc_out).astype(cdt)
+        y = _phase_conv(t_in, wd_post, b_post, sp, C, p, tile, stack_ref)
+        o_ref[0, :, :] = jnp.tanh(y).astype(o_ref.dtype)
+    else:
+        o_ref[0, :, :] = acc_out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
                                              'p', 'tile', 'in_phase',
-                                             'out_phase', 'interpret'))
+                                             'out_phase', 'post_k',
+                                             'interpret'))
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
-                    in_phase=False, out_phase=False, interpret=False):
+                    in_phase=False, out_phase=False, post_weights=None,
+                    post_k=0, interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -467,6 +531,13 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     consumer. ``weights`` from :func:`pack_mrf_phase_weights`. Interior
     samples are exact; utterance edges collapse SAME padding across the
     chain like the other fused kernels.
+
+    ``post_weights`` = (Wd_post, b_post) from
+    :func:`pack_post_phase_weights` (with ``post_k`` the conv_post kernel
+    size) runs the generator tail (lrelu → conv_post → tanh) as an
+    in-kernel epilogue; the output is then (B, p*C_out, Tq) in phase
+    layout (``out_phase`` controls the final relayout as usual). Callers
+    must check :func:`phase_post_feasible` first.
     """
     if in_phase:
         B, PC, Tq = x.shape
@@ -486,10 +557,21 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     max_w = max(_phase_conv_spec(k, d, p)['W']
                 for k, ds in zip(kernel_sizes, dilations) for d in ds)
 
+    if post_k:
+        if not phase_post_feasible(kernel_sizes, dilations, p, post_k, tile):
+            raise ValueError('chain halo too small for conv_post epilogue')
+        wd_post, b_post = post_weights
+        weights = list(weights) + [wd_post.astype(x.dtype),
+                                   b_post.astype(jnp.float32)]
+        c_rows = wd_post.shape[0]            # p * C_out
+        max_w = max(max_w, _phase_conv_spec(post_k, 1, p)['W'])
+    else:
+        c_rows = p * C
+
     kernel = functools.partial(
         _fused_mrf_phase_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        nb=nb, p=p, C=C)
+        nb=nb, p=p, C=C, post_k=post_k)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -501,9 +583,9 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         kernel,
         grid=(B, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, p * C, tile), lambda b, t: (b, 0, t),
+        out_specs=pl.BlockSpec((1, c_rows, tile), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, p * C, Tq), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, c_rows, Tq), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((p * C, tile + 2 * halo), x.dtype),
             pltpu.SemaphoreType.DMA,

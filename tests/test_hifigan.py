@@ -164,6 +164,42 @@ def test_generator_phase_chain_matches_xla():
     assert np.abs(out[:, :, 256:-256] - ref[:, :, 256:-256]).max() < 1e-4
 
 
+def test_fused_conv_post_epilogue_engages_and_matches():
+    """The conv_post epilogue (lrelu -> conv_post -> tanh fused into the
+    last phase kernel) must actually engage for the V1 tail geometry and
+    match the separate phase_conv1d tail exactly on interior samples."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import _pallas_mrf_phase
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        from_phase, phase_conv1d, to_phase)
+    cfg = {'sampling_rate': 22050, 'upsample_rates': [2, 2],
+           'upsample_kernel_sizes': [4, 4], 'upsample_initial_channel': 128,
+           'resblock': '1', 'resblock_kernel_sizes': [3, 7, 11],
+           'resblock_dilation_sizes': [[1, 3, 5]] * 3,
+           'model_in_dim': 80}
+    params = init_generator_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(4)
+    p, C, Q = 4, 32, 512
+    x_p = jnp.asarray(rng.randn(2, p * C, Q).astype(np.float32) * 0.3)
+    level = 1
+    y_post, applied = _pallas_mrf_phase(params, x_p, level, cfg, p,
+                                        post=params['conv_post'],
+                                        interpret=True)
+    assert applied, 'conv_post epilogue did not engage for V1 geometry'
+    assert y_post.shape == (2, p, Q)
+    # reference: fused MRF without epilogue, then the separate tail
+    y_mrf, applied2 = _pallas_mrf_phase(params, x_p, level, cfg, p,
+                                        post=None, interpret=True)
+    assert not applied2
+    from daft_exprt_tpu.ops.vocoder_kernels import _lrelu
+    ref = jnp.tanh(phase_conv1d(_lrelu(y_mrf), params['conv_post']['w'],
+                                params['conv_post']['b'], p))
+    a, b = np.asarray(from_phase(y_post, p)), np.asarray(from_phase(ref, p))
+    # interiors exact (same arithmetic); edges see the kernel's halo
+    # zero-padding vs phase_conv1d's SAME padding
+    assert np.abs(a[:, :, 64:-64] - b[:, :, 64:-64]).max() < 1e-5
+
+
 def test_fast_vocoder_wrapper_close_to_exact():
     """HiFiGanVocoder(fast=True) (bf16 + fused kernels, interpreted on
     CPU) stays close to the exact f32 wrapper."""
