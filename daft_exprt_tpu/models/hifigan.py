@@ -162,7 +162,6 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
     post_done = False
     for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
                                    cfg['upsample_kernel_sizes'])):
-        x = _lrelu(x)
         c_out = params[f'ups_{i}']['w'].shape[1]
         want_p = _phase_for(c_out)
         if chain and want_p >= 2 and want_p == u * cur_p \
@@ -170,21 +169,30 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
             # phase-native tail: the polyphase upsample emits phase
             # layout directly (no interleave transpose) and the fused
             # MRF kernel consumes/produces it (no to/from_phase) — the
-            # relayouts otherwise cost as much as the kernel saves
-            from daft_exprt_tpu.ops.vocoder_kernels import (
-                conv_transpose1d_phase)
-            x = conv_transpose1d_phase(
-                x, params[f'ups_{i}']['w'], params[f'ups_{i}']['b'],
-                stride=u, padding=(k - u) // 2, p_in=cur_p)
-            cur_p = want_p
-            # last level: fuse the tail (lrelu→conv_post→tanh) into the
-            # kernel epilogue when the halo margin allows
+            # relayouts otherwise cost as much as the kernel saves.
+            # lrelu + the upsample itself fuse into the kernel prologue
+            # (DAFT_FUSE_UPS=0 falls back to the XLA phase upsample);
+            # the last level fuses lrelu→conv_post→tanh as the epilogue
+            # (DAFT_FUSE_POST=0) when the halo margin allows.
             post = params['conv_post'] if (
                 i == n_ups - 1
                 and os.environ.get('DAFT_FUSE_POST', '1') != '0') else None
+            ups = dict(params[f'ups_{i}'], stride=u,
+                       padding=(k - u) // 2, p_in=cur_p) if \
+                os.environ.get('DAFT_FUSE_UPS', '1') != '0' else None
+            if ups is None:
+                from daft_exprt_tpu.ops.vocoder_kernels import (
+                    conv_transpose1d_phase)
+                x = conv_transpose1d_phase(
+                    _lrelu(x), params[f'ups_{i}']['w'],
+                    params[f'ups_{i}']['b'],
+                    stride=u, padding=(k - u) // 2, p_in=cur_p)
+            cur_p = want_p
             x, post_done = _pallas_mrf_phase(params, x, i, cfg, cur_p,
-                                             post=post, interpret=interpret)
+                                             post=post, ups=ups,
+                                             interpret=interpret)
             continue
+        x = _lrelu(x)
         if cur_p > 1:
             from daft_exprt_tpu.ops.vocoder_kernels import from_phase
             x = from_phase(x, cur_p)
@@ -225,15 +233,19 @@ def _phase_for(c):
     return min(8, 128 // c)
 
 
-def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None,
+def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
                       interpret=False):
     """Fused phase-native MRF: x_p (B, p*C, Q) in, same layout out.
 
     ``post``: the conv_post params dict — when given AND the chain halo
     leaves enough margin, the generator tail (lrelu → conv_post → tanh)
-    fuses into the kernel epilogue. Returns (y_p, post_applied)."""
+    fuses into the kernel epilogue. ``ups``: dict(w, b, stride, padding,
+    p_in) — when given, x_p is the PRE-upsample activation and
+    lrelu + the transposed-conv upsample fuse into the kernel prologue.
+    Returns (y_p, post_applied)."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
-        fused_mrf_phase, pack_mrf_phase_weights, pack_post_phase_weights,
+        conv_transpose1d_phase, fused_mrf_phase, pack_mrf_phase_weights,
+        pack_post_phase_weights, pack_ups_phase_weights,
         phase_post_feasible)
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
@@ -243,20 +255,29 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None,
         eff //= 2
     if Q % eff != 0:
         from daft_exprt_tpu.ops.vocoder_kernels import from_phase, to_phase
+        if ups is not None:
+            x_p = conv_transpose1d_phase(_lrelu(x_p), ups['w'], ups['b'],
+                                         ups['stride'], ups['padding'],
+                                         ups['p_in'])
         x = from_phase(x_p, p)
         return to_phase(_pallas_mrf(params, x, level, cfg, len(ks), 8192,
                                     interpret=interpret), p), False
     weights = pack_mrf_phase_weights(params, level, ks, dils, p)
+    kw = {}
+    if ups is not None:
+        wb, bu, ups_w, ups_dmin = pack_ups_phase_weights(
+            ups['w'], ups['b'], ups['stride'], ups['padding'], ups['p_in'])
+        kw = dict(ups_weights=(wb, bu), ups_w=ups_w, ups_dmin=ups_dmin)
     post_k = post['w'].shape[-1] if post is not None else 0
     if post_k and phase_post_feasible(ks, dils, p, post_k, eff):
         post_weights = pack_post_phase_weights(post['w'], post['b'], p)
         return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                                in_phase=True, out_phase=True,
                                post_weights=post_weights, post_k=post_k,
-                               interpret=interpret), True
+                               interpret=interpret, **kw), True
     return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                            in_phase=True, out_phase=True,
-                           interpret=interpret), False
+                           interpret=interpret, **kw), False
 
 
 def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):

@@ -401,6 +401,45 @@ def pack_post_phase_weights(w, b, p):
     return Wd, jnp.tile(b, p)[:, None]
 
 
+def _ups_phase_entries(k, stride, padding, p_in):
+    """Static geometry of a phase-layout transposed conv (see
+    :func:`conv_transpose1d_phase`): the (r, j, a, delta) contribution
+    table plus its column-shift range."""
+    if k - 2 * padding != stride:
+        raise ValueError('phase transposed conv requires k - 2*padding == '
+                         f'stride (got k={k}, padding={padding}, '
+                         f'stride={stride})')
+    po = stride * p_in
+    entries = []
+    for r in range(po):
+        for j in range(k):
+            if (r + padding - j) % stride != 0:
+                continue
+            e = (r + padding - j) // stride
+            entries.append((r, j, e % p_in, e // p_in))
+    dmin = min(d for *_, d in entries)
+    dmax = max(d for *_, d in entries)
+    return entries, dmin, dmax
+
+
+def pack_ups_phase_weights(w, b, stride, padding, p_in, dtype=None):
+    """ConvTranspose1d weights (torch (C_in, C_out, k)) → the banded
+    phase matrix (po*C_out, W*p_in*C_in) + bias (po*C_out, 1) + static
+    (W, dmin) for the fused upsample prologue / XLA phase upsample."""
+    C_in, C_out, k = w.shape
+    entries, dmin, dmax = _ups_phase_entries(k, stride, padding, p_in)
+    W = dmax - dmin + 1
+    po = stride * p_in
+    dt = dtype or w.dtype
+    Wb = jnp.zeros((po * C_out, W * p_in * C_in), dt)
+    wt = jnp.swapaxes(w, 0, 1).astype(dt)          # (C_out, C_in, k)
+    for r, j, a, d in entries:
+        blk = (d - dmin) * p_in + a
+        Wb = Wb.at[r * C_out:(r + 1) * C_out,
+                   blk * C_in:(blk + 1) * C_in].set(wt[:, :, j])
+    return Wb, jnp.tile(b, po)[:, None].astype(jnp.float32), W, dmin
+
+
 def _phase_chain_geometry(kernel_sizes, dilations, p, tile, halo):
     """Static per-block (off, cur_len) after the fused chain."""
     geo = []
@@ -446,27 +485,37 @@ def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
 
 
 def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
-                            post_k=0):
+                            post_k=0, ups_w=0, ups_base=0, halo_in=0):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
     HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
-    [+ Wd_post, b_post when post_k] + o_ref + x_scratch + sem + stack_ref.
+    [+ Wd_post, b_post when post_k] [+ Wb_ups, b_ups when ups_w] +
+    o_ref + x_scratch + sem + stack_ref.
 
     With ``post_k`` set, the generator tail (lrelu → conv_post → tanh) runs
     as an epilogue on the accumulated tile before the HBM write — the
     output shrinks from (p*C, tile) to (p*C_out, tile), removing the whole
     post-chain's HBM round trip (conv_post's FLOPs are negligible but its
-    XLA chain cost ~140 ms of the 909 ms B=128 vocoder)."""
+    XLA chain cost ~140 ms of the 909 ms B=128 vocoder).
+
+    With ``ups_w`` set, x_hbm is the PRE-upsample activation (same row
+    count, phase-p_in layout, padded by ``halo_in``) and the level's
+    lrelu + transposed-conv upsample run as a prologue: one banded
+    (p*C, ups_w * p_in*C_in) matmul over ``ups_w`` staged shifts — the
+    XLA phase upsamples cost ~52 ms each at B=128 and an extra HBM round
+    trip; here they ride the tile already in VMEM."""
     n_w = 4 * sum(len(d) for d in dils)
     n_post = 2 if post_k else 0
-    o_ref = refs[n_w + n_post]
-    x_scratch = refs[n_w + n_post + 1]
-    sem = refs[n_w + n_post + 2]
-    stack_ref = refs[n_w + n_post + 3]
+    n_ups = 2 if ups_w else 0
+    o_ref = refs[n_w + n_post + n_ups]
+    x_scratch = refs[n_w + n_post + n_ups + 1]
+    sem = refs[n_w + n_post + n_ups + 2]
+    stack_ref = refs[n_w + n_post + n_ups + 3]
     b = pl.program_id(0)
     t = pl.program_id(1)
 
+    hin = halo_in if ups_w else halo
     copy = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(t * tile, tile + 2 * halo)],
+        x_hbm.at[b, :, pl.ds(t * tile, tile + 2 * hin)],
         x_scratch, sem)
     copy.start()
     copy.wait()
@@ -478,7 +527,20 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
     a0 = sp['dmin'] if post_k else 0         # window start vs tile start
 
     cdt = x_scratch.dtype
-    x0 = x_scratch[:]                        # (p*C, tile + 2*halo)
+    if ups_w:
+        # prologue: lrelu + transposed-conv upsample as a banded matmul
+        wb_ups, b_ups = refs[n_w + n_post:n_w + n_post + 2]
+        pic = x_scratch.shape[0]             # p_in * C_in == p * C rows
+        xin = _lrelu(x_scratch[:].astype(jnp.float32)).astype(cdt)
+        L0 = tile + 2 * halo
+        for u in range(ups_w):
+            stack_ref[u * pic:(u + 1) * pic, 0:L0] = \
+                xin[:, ups_base + u: ups_base + u + L0]
+        x0 = (jnp.dot(wb_ups[:], stack_ref[0:ups_w * pic, 0:L0],
+                      preferred_element_type=jnp.float32)
+              + b_ups[:]).astype(cdt)
+    else:
+        x0 = x_scratch[:]                    # (p*C, tile + 2*halo)
     acc_out = None
     ref_idx = 0
     for blk in range(nb):
@@ -517,10 +579,12 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
                                              'p', 'tile', 'in_phase',
                                              'out_phase', 'post_k',
+                                             'ups_w', 'ups_dmin',
                                              'interpret'))
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                     in_phase=False, out_phase=False, post_weights=None,
-                    post_k=0, interpret=False):
+                    post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
+                    interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -538,6 +602,11 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     in-kernel epilogue; the output is then (B, p*C_out, Tq) in phase
     layout (``out_phase`` controls the final relayout as usual). Callers
     must check :func:`phase_post_feasible` first.
+
+    ``ups_weights`` = (Wb, b) from :func:`pack_ups_phase_weights` (with
+    the static ``ups_w``/``ups_dmin`` it returns) makes ``x`` the
+    PRE-upsample activation (phase-p_in, same p*C row count) and fuses
+    lrelu + the level's transposed-conv upsample as a kernel prologue.
     """
     if in_phase:
         B, PC, Tq = x.shape
@@ -551,8 +620,6 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     if Tq % tile != 0:
         raise ValueError(f'T/p={Tq} not a multiple of tile={tile}')
     halo = phase_chain_halo(kernel_sizes, dilations, p)
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (halo, halo)))
-    n_tiles = Tq // tile
 
     max_w = max(_phase_conv_spec(k, d, p)['W']
                 for k, ds in zip(kernel_sizes, dilations) for d in ds)
@@ -568,10 +635,29 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     else:
         c_rows = p * C
 
+    halo_in = halo
+    ups_base = 0
+    if ups_w:
+        wb_ups, b_ups = ups_weights
+        if wb_ups.shape[0] != p * C:
+            raise ValueError('fused upsample requires p_out*C_out == '
+                             f'p_in*C_in rows (got {wb_ups.shape[0]} vs '
+                             f'{p * C})')
+        ups_dmax = ups_dmin + ups_w - 1
+        halo_in = -(-max(halo - ups_dmin, halo + ups_dmax) // 128) * 128
+        ups_base = halo_in - halo + ups_dmin
+        weights = list(weights) + [wb_ups.astype(x.dtype),
+                                   b_ups.astype(jnp.float32)]
+        max_w = max(max_w, ups_w)
+
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (halo_in, halo_in)))
+    n_tiles = Tq // tile
+
     kernel = functools.partial(
         _fused_mrf_phase_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        nb=nb, p=p, C=C, post_k=post_k)
+        nb=nb, p=p, C=C, post_k=post_k, ups_w=ups_w, ups_base=ups_base,
+        halo_in=halo_in)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -587,7 +673,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, c_rows, Tq), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((p * C, tile + 2 * halo), x.dtype),
+            pltpu.VMEM((p * C, tile + 2 * halo_in), x.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((max_w * p * C, tile + 2 * halo), x.dtype),
         ],
@@ -651,29 +737,11 @@ def conv_transpose1d_phase(x_p, w, b, stride, padding, p_in):
     B, PC, U = x_p.shape
     C_in, C_out, k = w.shape
     assert PC == p_in * C_in
-    s, pp = stride, padding
-    if k - 2 * pp != s:
-        raise ValueError('phase transposed conv requires k - 2*padding == '
-                         f'stride (got k={k}, padding={pp}, stride={s})')
-    po = s * p_in
-    # output t = po*q + r needs x[pi*q + e], e=(r+pp-j)/s for s|(r+pp-j)
-    entries = []                     # (r, j, a, delta)
-    for r in range(po):
-        for j in range(k):
-            if (r + pp - j) % s != 0:
-                continue
-            e = (r + pp - j) // s
-            entries.append((r, j, e % p_in, e // p_in))
-    dmin = min(d for *_, d in entries)
-    dmax = max(d for *_, d in entries)
-    W = dmax - dmin + 1
+    po = stride * p_in
+    Wb, bias, W, dmin = pack_ups_phase_weights(w, b, stride, padding, p_in,
+                                               dtype=x_p.dtype)
+    dmax = dmin + W - 1
     xpad = jnp.pad(x_p, ((0, 0), (0, 0), (-dmin, dmax)))
-    Wb = jnp.zeros((po * C_out, W * p_in * C_in), x_p.dtype)
-    wt = jnp.swapaxes(w, 0, 1).astype(x_p.dtype)  # (C_out, C_in, k)
-    for r, j, a, d in entries:
-        blk = (d - dmin) * p_in + a
-        Wb = Wb.at[r * C_out:(r + 1) * C_out,
-                   blk * C_in:(blk + 1) * C_in].set(wt[:, :, j])
     # sum of einsums over shifted slices (see phase_conv1d): avoids
     # materializing the (B, W*p_in*C_in, U) stacked operand in HBM
     pic = p_in * C_in
@@ -683,7 +751,7 @@ def conv_transpose1d_phase(x_p, w, b, stride, padding, p_in):
         part = jnp.einsum('oc,bcq->boq',
                           Wb[:, u * pic:(u + 1) * pic], xs)
         y = part if y is None else y + part
-    return y + jnp.tile(b, po)[None, :, None].astype(y.dtype)
+    return y + bias[None, :, :].astype(y.dtype)
 
 
 def resblock1_reference(x, w1, b1, w2, b2, kernel_size, dilations):
