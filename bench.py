@@ -132,9 +132,12 @@ def main():
     # warmup AFTER the compile fetch returns, so the first timed loop can
     # read 2-3x slow (round 1's driver run recorded 701 audio-s/s for a
     # pipeline that steady-states at ~1670). Later loops are stable.
-    loops = 3
+    # Adaptive loop count: run at least 3, and keep going (up to 8) until
+    # the two fastest loops agree within 5% — guards the recorded headline
+    # against a tunnel session with pathological one-off stalls.
+    max_loops = 8
     loop_times = []
-    for li in range(loops):
+    for li in range(max_loops):
         batches = [perturb(batch, li * runs + i + 1) for i in range(runs)]
         start = time.perf_counter()
         accs = [pipeline(params, voc_params, b) for b in batches]
@@ -142,6 +145,10 @@ def main():
         elapsed = time.perf_counter() - start
         assert np.isfinite(total)
         loop_times.append(elapsed)
+        if li >= 2:
+            best2 = sorted(loop_times)[:2]
+            if best2[1] / best2[0] < 1.05:
+                break
     elapsed = min(loop_times)
     per_run = [elapsed / runs] * runs
 

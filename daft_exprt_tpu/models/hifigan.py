@@ -137,7 +137,8 @@ def _resblock2(params, x, dilations):
 
 
 def generator_forward(params: Dict[str, Any], mel, config=None,
-                      use_pallas=False, pallas_tile=8192, interpret=False):
+                      use_pallas=False, pallas_tile=8192, int8=None,
+                      interpret=False):
     """mel: (B, n_mels, T) → wav (B, 1, T * prod(upsample_rates)).
 
     ``use_pallas=True`` routes each ResBlock1 group through the fused
@@ -146,8 +147,17 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
     receptive field of the utterance edges differ slightly from the
     per-conv zero-padding semantics (keep the default path for bit-parity
     checks).
+
+    ``int8`` (default: DAFT_VOC_INT8 env, off) additionally quantizes the
+    fused kernels' resblock matmuls to int8 (per-channel weight scales,
+    per-tile activation scales) — 2x MXU rate on the matmul-bound levels
+    at a ~1e-2 relative waveform error (quantized-serving mode, not the
+    parity path).
     """
     cfg = config or DEFAULT_CONFIG
+    if int8 is None:
+        int8 = os.environ.get('DAFT_VOC_INT8', '0') == '1'
+    int8 = bool(int8) and use_pallas
     num_kernels = len(cfg['resblock_kernel_sizes'])
     resblock = _resblock1 if cfg['resblock'] == '1' else _resblock2
     # DAFT_MRF_PHASE=0 is the phase-kernel kill switch — it must disable
@@ -188,8 +198,12 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                     params[f'ups_{i}']['b'],
                     stride=u, padding=(k - u) // 2, p_in=cur_p)
             cur_p = want_p
+            # int8 sublane slices land on 32-granules only when C % 32 == 0
+            # (true for every real V1 level; synthetic narrower configs
+            # fall back to the bf16 kernels)
             x, post_done = _pallas_mrf_phase(params, x, i, cfg, cur_p,
                                              post=post, ups=ups,
+                                             int8=int8 and c_out % 32 == 0,
                                              interpret=interpret)
             continue
         x = _lrelu(x)
@@ -202,7 +216,7 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                               padding=(k - u) // 2)
         if use_pallas and cfg['resblock'] == '1':
             x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile,
-                            interpret=interpret)
+                            int8=int8, interpret=interpret)
         else:
             xs = None
             for j, dil in enumerate(cfg['resblock_dilation_sizes']):
@@ -234,7 +248,7 @@ def _phase_for(c):
 
 
 def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
-                      interpret=False):
+                      int8=False, interpret=False):
     """Fused phase-native MRF: x_p (B, p*C, Q) in, same layout out.
 
     ``post``: the conv_post params dict — when given AND the chain halo
@@ -261,7 +275,8 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
                                          ups['p_in'])
         x = from_phase(x_p, p)
         return to_phase(_pallas_mrf(params, x, level, cfg, len(ks), 8192,
-                                    interpret=interpret), p), False
+                                    int8=int8, interpret=interpret),
+                        p), False
     weights = pack_mrf_phase_weights(params, level, ks, dils, p)
     kw = {}
     if ups is not None:
@@ -274,13 +289,15 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
         return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                                in_phase=True, out_phase=True,
                                post_weights=post_weights, post_k=post_k,
+                               int8_chain=int8,
                                interpret=interpret, **kw), True
     return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
-                           in_phase=True, out_phase=True,
+                           in_phase=True, out_phase=True, int8_chain=int8,
                            interpret=interpret, **kw), False
 
 
-def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
+def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
+                interpret=False):
     """Multi-receptive-field fusion of one upsample level's resblocks via
     the fused channels-in-sublanes Pallas kernel: all ``num_kernels``
     resblocks computed in one HBM round trip. x: (B, C, T) → (B, C, T)."""
@@ -290,6 +307,7 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
     B, C, T = x.shape
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
+    int8 = int8 and C % 32 == 0      # int8 sublane slicing granularity
     # narrowest levels (C*4 <= 128): phase-major banded kernel — folds 4
     # time phases into channels so every conv matmul fills all 128 MXU
     # rows (1.75x the M=C-bound matmul floor on the V1 conv mix)
@@ -302,7 +320,7 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
         if T % (p * eff) == 0:
             weights = pack_mrf_phase_weights(params, level, ks, dils, p)
             return fused_mrf_phase(x, weights, ks, dils, p, tile=eff,
-                                   interpret=interpret)
+                                   int8_chain=int8, interpret=interpret)
     # scale the time tile with channel width so the in-kernel chain
     # (several live (C, tile) f32 intermediates + the packed weights)
     # fits VMEM; tile*C ≈ 512K elements ≈ 2 MB per live buffer
@@ -316,10 +334,12 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, interpret=False):
     # narrow levels (C<=64): one (C, k*C)@(k*C, L) matmul per conv keeps
     # the MXU reduction deep; wide levels use per-tap (C, C) matmuls so
     # the stacked operand doesn't blow VMEM
-    merge = C <= 64 and os.environ.get('DAFT_MRF_MERGE', '1') != '0'
+    merge = C <= 64 and not int8 and \
+        os.environ.get('DAFT_MRF_MERGE', '1') != '0'
     weights = pack_mrf_weights(params, level, ks, dils, merge_taps=merge)
     return fused_mrf_ct(x, weights, ks, dils, tile=eff_tile,
-                        merge_taps=merge, interpret=interpret)
+                        merge_taps=merge, int8_chain=int8,
+                        interpret=interpret)
 
 
 def init_generator_params(rng, config=None, std=0.01):

@@ -27,6 +27,41 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
+# ----------------------------------------------------------------------
+# int8 quantization helpers (v5e MXU runs s8 x s8 -> s32 at 2x the bf16
+# rate; the tail levels are matmul-form-bound, so int8 is the remaining
+# lever after the phase relayout — see CLAUDE.md perf notes)
+# ----------------------------------------------------------------------
+
+def quantize_rows(w, row_axes=None):
+    """Symmetric per-output-row int8 quantization of a weight tensor.
+
+    Returns (w_q int8, scale f32) with scale shaped to broadcast against
+    the dequantized matmul output: amax is taken over all axes except the
+    leading (output-row) axes.
+    """
+    if row_axes is None:
+        row_axes = (0,)
+    reduce_axes = tuple(a for a in range(w.ndim) if a not in row_axes)
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    s = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.round(wf / s).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _quantize_dynamic(x):
+    """Per-tile symmetric int8 quantization of an activation value.
+
+    One scalar scale for the whole tile: amax reduce + round + cast on the
+    VPU, ~3 ops/element — negligible against the k-to-W-fold reuse of the
+    quantized tile in the banded matmuls.
+    """
+    amax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-30)
+    q = jnp.round(x * (127.0 / amax)).astype(jnp.int8)
+    return q, amax * (1.0 / 127.0)
+
+
 def resblock1_halo(kernel_size: int, dilations: Sequence[int]) -> int:
     """Per-side receptive-field growth of the full chain, rounded up to the
     8-sublane granule so every DMA stays aligned."""
@@ -160,7 +195,20 @@ def _ct_conv(t_in, w_ref, b_ref, i, k, d, L_out, merged, stack_ref=None):
     return acc + b_ref[i]
 
 
-def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge):
+def _ct_conv_q8(q, s_x, wq_ref, sw_ref, b_ref, i, k, d, L_out):
+    """int8 variant of :func:`_ct_conv` (unmerged): per-tap s8 x s8 -> s32
+    dots against lane-shifted slices of the pre-quantized activation,
+    accumulated in int32, dequantized once with (row_scale * act_scale)."""
+    acc = None
+    for tap in range(k):
+        seg = q[:, tap * d: tap * d + L_out]       # static int8 lane slice
+        c = jnp.dot(wq_ref[i, tap], seg, preferred_element_type=jnp.int32)
+        acc = c if acc is None else acc + c
+    return acc.astype(jnp.float32) * (sw_ref[i] * s_x) + b_ref[i]
+
+
+def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
+                         q8=False):
     """Multi-receptive-field fusion, channels-in-sublanes layout.
 
     refs = [w1_0, b1_0, w2_0, b2_0, ..., w1_{nb-1}, ..., o_ref, x_scratch,
@@ -169,10 +217,11 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge):
     whole chain in VMEM. Weights w: (n_dil, k, C_out, C_in) — or
     (n_dil, C_out, k*C_in) when ``merge`` — biases b: (n_dil, C, 1).
     """
-    o_ref = refs[4 * nb]
-    x_scratch = refs[4 * nb + 1]
-    sem = refs[4 * nb + 2]
-    stack_ref = refs[4 * nb + 3] if merge else None
+    stride = 6 if q8 else 4
+    o_ref = refs[stride * nb]
+    x_scratch = refs[stride * nb + 1]
+    sem = refs[stride * nb + 2]
+    stack_ref = refs[stride * nb + 3] if merge else None
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -186,21 +235,29 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge):
     x0 = x_scratch[:]                         # (C, tile + 2*halo), cdt
     acc_out = None
     for blk in range(nb):
-        w1_ref, b1_ref, w2_ref, b2_ref = refs[4 * blk: 4 * blk + 4]
         k = ks[blk]
         half = (k - 1) // 2
         cur = x0.astype(jnp.float32)
         cur_len = tile + 2 * halo
         for i, d in enumerate(dils[blk]):
             h1 = d * half
-            t_in = _lrelu(cur).astype(cdt)
             L1 = cur_len - 2 * h1
-            acc = _ct_conv(t_in, w1_ref, b1_ref, i, k, d, L1, merge,
-                           stack_ref)
-            t2 = _lrelu(acc).astype(cdt)
             L2 = L1 - 2 * half
-            acc2 = _ct_conv(t2, w2_ref, b2_ref, i, k, 1, L2, merge,
-                            stack_ref)
+            if q8:
+                w1q, sw1, b1_ref, w2q, sw2, b2_ref = \
+                    refs[6 * blk: 6 * blk + 6]
+                q, s_x = _quantize_dynamic(_lrelu(cur))
+                acc = _ct_conv_q8(q, s_x, w1q, sw1, b1_ref, i, k, d, L1)
+                q2, s2 = _quantize_dynamic(_lrelu(acc))
+                acc2 = _ct_conv_q8(q2, s2, w2q, sw2, b2_ref, i, k, 1, L2)
+            else:
+                w1_ref, b1_ref, w2_ref, b2_ref = refs[4 * blk: 4 * blk + 4]
+                t_in = _lrelu(cur).astype(cdt)
+                acc = _ct_conv(t_in, w1_ref, b1_ref, i, k, d, L1, merge,
+                               stack_ref)
+                t2 = _lrelu(acc).astype(cdt)
+                acc2 = _ct_conv(t2, w2_ref, b2_ref, i, k, 1, L2, merge,
+                                stack_ref)
             shrink = h1 + half
             cur = cur[:, shrink: shrink + L2] + acc2
             cur_len = L2
@@ -212,9 +269,9 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge):
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
                                              'tile', 'merge_taps',
-                                             'interpret'))
+                                             'int8_chain', 'interpret'))
 def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
-                 merge_taps=False, interpret=False):
+                 merge_taps=False, int8_chain=False, interpret=False):
     """Fused multi-receptive-field resblock group, (B, C, T) layout.
 
     x: (B, C, T) — the natural conv layout (time in lanes), so no
@@ -236,13 +293,26 @@ def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
     halo = -(-halo // 128) * 128
     if T % tile != 0:
         raise ValueError(f'T={T} not a multiple of tile={tile}')
+    if int8_chain and merge_taps:
+        raise ValueError('int8_chain supports the unmerged per-tap form '
+                         '(narrow levels route to the phase kernel)')
     n_tiles = T // tile
     x_padded = jnp.pad(x, ((0, 0), (0, 0), (halo, halo)))
+
+    if int8_chain:
+        qw = []
+        for i in range(0, len(weights), 2):
+            w, b = weights[i], weights[i + 1]
+            n_dil, _, c_out, _ = w.shape
+            wq, sw = quantize_rows(w, row_axes=(0, 2))
+            qw += [wq, sw.reshape(n_dil, c_out, 1),
+                   b.astype(jnp.float32)]
+        weights = qw
 
     kernel = functools.partial(
         _fused_mrf_ct_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        nb=nb, merge=merge_taps)
+        nb=nb, merge=merge_taps, q8=int8_chain)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -484,8 +554,25 @@ def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
     return acc + b_ref[:]
 
 
+def _phase_conv_q8(t_in, wd_ref, sw_ref, b_ref, spec, C, p, L_out,
+                   stack8_ref):
+    """int8 variant of :func:`_phase_conv`: quantize the f32 activation
+    tile once (per-tile scale), stage the W lane shifts as int8, one
+    s8 x s8 -> s32 banded matmul, dequantize with (row_scale * act_scale)
+    and add the bias in f32."""
+    pc = p * C
+    q, s_x = _quantize_dynamic(t_in)
+    for u in range(spec['W']):
+        stack8_ref[u * pc:(u + 1) * pc, 0:L_out] = q[:, u:u + L_out]
+    row0 = spec['j0'] * C
+    operand = stack8_ref[row0:row0 + spec['kcols'] * C, 0:L_out]
+    acc = jnp.dot(wd_ref[:], operand, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sw_ref[:] * s_x) + b_ref[:]
+
+
 def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
-                            post_k=0, ups_w=0, ups_base=0, halo_in=0):
+                            post_k=0, ups_w=0, ups_base=0, halo_in=0,
+                            q8=False):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
     HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
     [+ Wd_post, b_post when post_k] [+ Wb_ups, b_ups when ups_w] +
@@ -503,13 +590,14 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
     (p*C, ups_w * p_in*C_in) matmul over ``ups_w`` staged shifts — the
     XLA phase upsamples cost ~52 ms each at B=128 and an extra HBM round
     trip; here they ride the tile already in VMEM."""
-    n_w = 4 * sum(len(d) for d in dils)
+    n_w = (6 if q8 else 4) * sum(len(d) for d in dils)
     n_post = 2 if post_k else 0
-    n_ups = 2 if ups_w else 0
+    n_ups = (3 if q8 else 2) if ups_w else 0
     o_ref = refs[n_w + n_post + n_ups]
     x_scratch = refs[n_w + n_post + n_ups + 1]
     sem = refs[n_w + n_post + n_ups + 2]
     stack_ref = refs[n_w + n_post + n_ups + 3]
+    stack8_ref = refs[n_w + n_post + n_ups + 4] if q8 else None
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -529,16 +617,27 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
     cdt = x_scratch.dtype
     if ups_w:
         # prologue: lrelu + transposed-conv upsample as a banded matmul
-        wb_ups, b_ups = refs[n_w + n_post:n_w + n_post + 2]
         pic = x_scratch.shape[0]             # p_in * C_in == p * C rows
-        xin = _lrelu(x_scratch[:].astype(jnp.float32)).astype(cdt)
         L0 = tile + 2 * halo
-        for u in range(ups_w):
-            stack_ref[u * pic:(u + 1) * pic, 0:L0] = \
-                xin[:, ups_base + u: ups_base + u + L0]
-        x0 = (jnp.dot(wb_ups[:], stack_ref[0:ups_w * pic, 0:L0],
-                      preferred_element_type=jnp.float32)
-              + b_ups[:]).astype(cdt)
+        xin_f = _lrelu(x_scratch[:].astype(jnp.float32))
+        if q8:
+            wb_ups, sw_ups, b_ups = refs[n_w + n_post:n_w + n_post + 3]
+            qx, sx = _quantize_dynamic(xin_f)
+            for u in range(ups_w):
+                stack8_ref[u * pic:(u + 1) * pic, 0:L0] = \
+                    qx[:, ups_base + u: ups_base + u + L0]
+            x0 = (jnp.dot(wb_ups[:], stack8_ref[0:ups_w * pic, 0:L0],
+                          preferred_element_type=jnp.int32)
+                  .astype(jnp.float32) * (sw_ups[:] * sx) + b_ups[:])
+        else:
+            wb_ups, b_ups = refs[n_w + n_post:n_w + n_post + 2]
+            xin = xin_f.astype(cdt)
+            for u in range(ups_w):
+                stack_ref[u * pic:(u + 1) * pic, 0:L0] = \
+                    xin[:, ups_base + u: ups_base + u + L0]
+            x0 = (jnp.dot(wb_ups[:], stack_ref[0:ups_w * pic, 0:L0],
+                          preferred_element_type=jnp.float32)
+                  + b_ups[:]).astype(cdt)
     else:
         x0 = x_scratch[:]                    # (p*C, tile + 2*halo)
     acc_out = None
@@ -551,14 +650,22 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
         for d in dils[blk]:
             s1 = _phase_conv_spec(k, d, p)
             s2 = _phase_conv_spec(k, 1, p)
-            wd1, b1, wd2, b2 = refs[ref_idx:ref_idx + 4]
-            ref_idx += 4
-            t_in = _lrelu(cur).astype(cdt)
             L1 = cur_len - (s1['W'] - 1)
-            a1 = _phase_conv(t_in, wd1, b1, s1, C, p, L1, stack_ref)
-            t2 = _lrelu(a1).astype(cdt)
             L2 = L1 - (s2['W'] - 1)
-            a2 = _phase_conv(t2, wd2, b2, s2, C, p, L2, stack_ref)
+            if q8:
+                wd1, sw1, b1, wd2, sw2, b2 = refs[ref_idx:ref_idx + 6]
+                ref_idx += 6
+                a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C, p,
+                                    L1, stack8_ref)
+                a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C, p,
+                                    L2, stack8_ref)
+            else:
+                wd1, b1, wd2, b2 = refs[ref_idx:ref_idx + 4]
+                ref_idx += 4
+                t_in = _lrelu(cur).astype(cdt)
+                a1 = _phase_conv(t_in, wd1, b1, s1, C, p, L1, stack_ref)
+                t2 = _lrelu(a1).astype(cdt)
+                a2 = _phase_conv(t2, wd2, b2, s2, C, p, L2, stack_ref)
             shift = -s1['dmin'] - s2['dmin']
             cur = cur[:, shift:shift + L2] + a2
             cur_len = L2
@@ -580,11 +687,11 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                                              'p', 'tile', 'in_phase',
                                              'out_phase', 'post_k',
                                              'ups_w', 'ups_dmin',
-                                             'interpret'))
+                                             'int8_chain', 'interpret'))
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                     in_phase=False, out_phase=False, post_weights=None,
                     post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
-                    interpret=False):
+                    int8_chain=False, interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -607,6 +714,13 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     the static ``ups_w``/``ups_dmin`` it returns) makes ``x`` the
     PRE-upsample activation (phase-p_in, same p*C row count) and fuses
     lrelu + the level's transposed-conv upsample as a kernel prologue.
+
+    ``int8_chain`` quantizes the chain convs to int8 (per-output-row
+    weight scales, per-tile dynamic activation scales): the banded
+    matmuls run s8 x s8 -> s32 on the MXU at 2x the bf16 rate. Residual
+    adds, biases, lrelu, and the ups/post prologue/epilogue stay in
+    f32/bf16. Expect ~1e-2 relative error on the level output (the
+    fast-path quality budget, not the parity budget).
     """
     if in_phase:
         B, PC, Tq = x.shape
@@ -623,6 +737,14 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
 
     max_w = max(_phase_conv_spec(k, d, p)['W']
                 for k, ds in zip(kernel_sizes, dilations) for d in ds)
+    chain_max_w = max_w
+
+    if int8_chain:
+        qw = []
+        for i in range(0, len(weights), 2):
+            wq, sw = quantize_rows(weights[i])
+            qw += [wq, sw, weights[i + 1].astype(jnp.float32)]
+        weights = qw
 
     if post_k:
         if not phase_post_feasible(kernel_sizes, dilations, p, post_k, tile):
@@ -646,8 +768,14 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         ups_dmax = ups_dmin + ups_w - 1
         halo_in = -(-max(halo - ups_dmin, halo + ups_dmax) // 128) * 128
         ups_base = halo_in - halo + ups_dmin
-        weights = list(weights) + [wb_ups.astype(x.dtype),
-                                   b_ups.astype(jnp.float32)]
+        if int8_chain:
+            wbq, sw_ups = quantize_rows(wb_ups)
+            weights = list(weights) + [wbq, sw_ups,
+                                       b_ups.astype(jnp.float32)]
+            chain_max_w = max(chain_max_w, ups_w)
+        else:
+            weights = list(weights) + [wb_ups.astype(x.dtype),
+                                       b_ups.astype(jnp.float32)]
         max_w = max(max_w, ups_w)
 
     xp = jnp.pad(xp, ((0, 0), (0, 0), (halo_in, halo_in)))
@@ -657,7 +785,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         _fused_mrf_phase_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         nb=nb, p=p, C=C, post_k=post_k, ups_w=ups_w, ups_base=ups_base,
-        halo_in=halo_in)
+        halo_in=halo_in, q8=int8_chain)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -676,7 +804,8 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
             pltpu.VMEM((p * C, tile + 2 * halo_in), x.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((max_w * p * C, tile + 2 * halo), x.dtype),
-        ],
+        ] + ([pltpu.VMEM((chain_max_w * p * C, tile + 2 * halo), jnp.int8)]
+             if int8_chain else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

@@ -81,13 +81,28 @@ def main():
         return jnp.sum(jnp.abs(y.astype(jnp.float32)))
 
     @jax.jit
+    def run_phase_int8(params, x):
+        w = pack_mrf_phase_weights(params, 0, ks, dils, p)
+        y = fused_mrf_phase(x, w, ks, dils, p, tile=args.ptile,
+                            int8_chain=True)
+        return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+
+    @jax.jit
+    def run_ct_int8(params, x):
+        w = pack_mrf_weights(params, 0, ks, dils, merge_taps=False)
+        y = fused_mrf_ct(x, w, ks, dils, tile=eff_ct, int8_chain=True)
+        return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+
+    @jax.jit
     def run_relayout(x):
         return jnp.sum(jnp.abs(from_phase(to_phase(x, p), p)
                                .astype(jnp.float32)))
 
     for name, fn, a in [('relayout-only', run_relayout, (x,)),
                         ('ct-merged', run_ct, (params, x)),
-                        (f'phase-p{p}', run_phase, (params, x))]:
+                        (f'phase-p{p}', run_phase, (params, x)),
+                        (f'phase-p{p}-int8', run_phase_int8, (params, x)),
+                        ('ct-int8', run_ct_int8, (params, x))]:
         try:
             best, ts = timeit(fn, *a, runs=args.runs)
             print(f'{name:14s} best={best*1e3:8.1f} ms  '

@@ -53,13 +53,14 @@ def main():
     params = init_generator_params(jax.random.PRNGKey(0))
     mel = jnp.asarray(np.random.RandomState(0).randn(B, 80, T), jnp.float32)
 
-    def run(dtype, use_pallas, tile):
+    def run(dtype, use_pallas, tile, int8=False):
         p = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
         @jax.jit
         def f(p, m):
             wav = generator_forward(p, m.astype(dtype),
-                                    use_pallas=use_pallas, pallas_tile=tile)
+                                    use_pallas=use_pallas, pallas_tile=tile,
+                                    int8=int8)
             return jnp.sum(jnp.abs(wav.astype(jnp.float32)))
         return timeit(f, p, mel, runs=args.runs)
 
@@ -86,11 +87,12 @@ def main():
             ('xla-bf16', jnp.bfloat16, False, 0),
             ('pallas-f32', jnp.float32, True, args.tile),
             ('pallas-bf16', jnp.bfloat16, True, args.tile),
+            ('pallas-int8', jnp.bfloat16, True, args.tile),
     ]:
         if name not in wanted:
             continue
         try:
-            best, ts = run(dtype, up, tile)
+            best, ts = run(dtype, up, tile, int8=(name == 'pallas-int8'))
             print(f'{name:12s} best={best*1e3:8.1f} ms  '
                   f'{audio_s/best:8.1f} audio-s/s  all={[round(t*1e3,1) for t in ts]}',
                   flush=True)

@@ -246,3 +246,82 @@ def test_fused_mrf_ct_merged_taps(C):
     b = np.asarray(fused_mrf_ct(x, merged, ks, dils, tile=256,
                                 merge_taps=True, interpret=True))
     assert np.abs(a - b).max() < 1e-5
+
+
+def test_fused_mrf_phase_int8():
+    """int8 chain (per-row weight scales, per-tile activation scales)
+    tracks the f32 kernel within the quantized-serving error budget."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, pack_mrf_phase_weights)
+    rng = np.random.RandomState(11)
+    ks = (3, 7, 11)
+    dils = ((1, 3, 5),) * 3
+    B, C, T, p = 1, 32, 8192, 4
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        params[f'resblock_0_{j}'] = {
+            f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, k)
+                                            .astype(np.float32) * .05),
+                           'b': jnp.asarray(rng.randn(C)
+                                            .astype(np.float32) * .01)}
+            for pre in ('convs1', 'convs2') for i in range(len(d))}
+    weights = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    ref = np.asarray(fused_mrf_phase(x, weights, ks, dils, p, tile=512,
+                                     interpret=True))
+    q8 = np.asarray(fused_mrf_phase(x, weights, ks, dils, p, tile=512,
+                                    int8_chain=True, interpret=True))
+    rel = np.linalg.norm(q8 - ref) / np.linalg.norm(ref)
+    # ~40 dB per conv accumulating over the 18-conv chain: expect a few %
+    assert rel < 0.06, rel
+    assert np.isfinite(q8).all()
+
+
+def test_fused_mrf_ct_int8():
+    """int8 per-tap ct kernel (wide levels) within the same budget."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import fused_mrf_ct
+    rng = np.random.RandomState(12)
+    ks = (3, 7)
+    dils = ((1, 3, 5), (1, 3, 5))
+    B, C, T = 2, 128, 2048
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    weights = []
+    for k, d in zip(ks, dils):
+        weights += [
+            jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02),
+            jnp.asarray(rng.randn(len(d), C, 1).astype(np.float32) * .01),
+            jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02),
+            jnp.asarray(rng.randn(len(d), C, 1).astype(np.float32) * .01)]
+    ref = np.asarray(fused_mrf_ct(x, weights, ks, dils, tile=512,
+                                  interpret=True))
+    q8 = np.asarray(fused_mrf_ct(x, weights, ks, dils, tile=512,
+                                 int8_chain=True, interpret=True))
+    rel = np.linalg.norm(q8 - ref) / np.linalg.norm(ref)
+    assert rel < 0.06, rel
+
+
+def test_generator_int8_path():
+    """Full generator with int8 fused kernels: finite, close to the f32
+    pallas path, and exercises every level's routing."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        generator_forward, init_generator_params)
+    import jax
+    cfg = {'sampling_rate': 22050, 'upsample_rates': [8, 8, 2, 2],
+           'upsample_kernel_sizes': [16, 16, 4, 4],
+           'upsample_initial_channel': 128, 'resblock': '1',
+           'resblock_kernel_sizes': [3, 7], 'model_in_dim': 80,
+           'resblock_dilation_sizes': [[1, 3], [1, 3]]}
+    params = init_generator_params(jax.random.PRNGKey(0), cfg, std=0.05)
+    rng = np.random.RandomState(13)
+    mel = jnp.asarray(rng.randn(1, 80, 256).astype(np.float32))
+    ref = np.asarray(generator_forward(params, mel, cfg, use_pallas=True,
+                                       interpret=True))
+    q8 = np.asarray(generator_forward(params, mel, cfg, use_pallas=True,
+                                      int8=True, interpret=True))
+    assert np.isfinite(q8).all()
+    rel = (np.linalg.norm(q8 - ref)
+           / max(np.linalg.norm(ref), 1e-9))
+    assert rel < 0.1, rel
