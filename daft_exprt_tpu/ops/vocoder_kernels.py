@@ -542,7 +542,7 @@ def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
 
     t_in: (p*C, len) activations (compute dtype). Builds the phase stream
     by staging W lane-shifted copies of t_in through ``stack_ref`` (Mosaic
-    cannot concatenate lane-rotated slices), then one
+    cannot concatenate lane-rotated values directly), then one
     (p*C, kcols*C) @ (kcols*C, L_out) matmul.
     """
     pc = p * C

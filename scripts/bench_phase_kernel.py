@@ -68,10 +68,12 @@ def main():
     while eff_ct * C > (1 << 19) and eff_ct > 512:
         eff_ct //= 2
 
+    ct_merge = C <= 64          # mirror the production routing
+
     @jax.jit
     def run_ct(params, x):
-        w = pack_mrf_weights(params, 0, ks, dils, merge_taps=True)
-        y = fused_mrf_ct(x, w, ks, dils, tile=eff_ct, merge_taps=True)
+        w = pack_mrf_weights(params, 0, ks, dils, merge_taps=ct_merge)
+        y = fused_mrf_ct(x, w, ks, dils, tile=eff_ct, merge_taps=ct_merge)
         return jnp.sum(jnp.abs(y.astype(jnp.float32)))
 
     @jax.jit
@@ -98,11 +100,17 @@ def main():
         return jnp.sum(jnp.abs(from_phase(to_phase(x, p), p)
                                .astype(jnp.float32)))
 
-    for name, fn, a in [('relayout-only', run_relayout, (x,)),
-                        ('ct-merged', run_ct, (params, x)),
-                        (f'phase-p{p}', run_phase, (params, x)),
-                        (f'phase-p{p}-int8', run_phase_int8, (params, x)),
-                        ('ct-int8', run_ct_int8, (params, x))]:
+    import os as _os
+    todo = [('relayout-only', run_relayout, (x,)),
+            ('ct-merged', run_ct, (params, x)),
+            (f'phase-p{p}', run_phase, (params, x)),
+            (f'phase-p{p}-int8', run_phase_int8, (params, x)),
+            ('ct-int8', run_ct_int8, (params, x)),
+            ]
+    only = _os.environ.get('BENCH_ONLY')
+    if only:
+        todo = [t for t in todo if t[0] in only.split(',')]
+    for name, fn, a in todo:
         try:
             best, ts = timeit(fn, *a, runs=args.runs)
             print(f'{name:14s} best={best*1e3:8.1f} ms  '
