@@ -1,10 +1,18 @@
-"""Probe: int8 MXU matmul feasibility + rate vs bf16 in Pallas on this TPU.
+"""Probe: int8 MXU matmul feasibility in Pallas on this TPU.
 
 Checks, in order of risk:
-  1. plain int8 x int8 -> int32 dot compiles and is ~2x bf16 rate
+  1. plain int8 x int8 -> int32 dot compiles
   2. lane-shifted slices of an int8 VALUE feed the MXU (the op the fused
      phase/ct vocoder kernels need for tap shifts)
   3. in-kernel f32 -> int8 quantization (round + cast) cost
+
+CAVEAT (measured 2026-08): the reported T(FL)OP/s here is NOT the MXU
+rate — slicing a big VMEM value per rep measures the materialized-copy
+cost, so all variants read ~7 T/s while the real fused kernels sustain
+~123 T/s effective. Use this probe only for does-it-compile answers; rate
+comparisons belong in scripts/bench_phase_kernel.py (real kernel
+structure), where int8 measures ~6% (phase, C=32) to ~14% (ct, C=128)
+faster than bf16 — far from the 2x TOPS ratio.
 
 Run on the real chip:  python scripts/bench_int8_probe.py
 """
