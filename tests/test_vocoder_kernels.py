@@ -325,3 +325,32 @@ def test_generator_int8_path():
     rel = (np.linalg.norm(q8 - ref)
            / max(np.linalg.norm(ref), 1e-9))
     assert rel < 0.1, rel
+
+
+def test_generator_int8_env_routing(monkeypatch):
+    """DAFT_VOC_INT8=1 routes generator_forward to the int8 kernels (same
+    result as the explicit int8=True argument)."""
+    import jax
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        generator_forward, init_generator_params)
+    cfg = {'sampling_rate': 22050, 'upsample_rates': [8, 8, 2, 2],
+           'upsample_kernel_sizes': [16, 16, 4, 4],
+           'upsample_initial_channel': 256, 'resblock': '1',
+           'resblock_kernel_sizes': [3], 'model_in_dim': 80,
+           'resblock_dilation_sizes': [[1, 3]]}
+    params = init_generator_params(jax.random.PRNGKey(0), cfg, std=0.05)
+    mel = jnp.asarray(np.random.RandomState(14).randn(1, 80, 64)
+                      .astype(np.float32))
+    explicit = np.asarray(generator_forward(params, mel, cfg,
+                                            use_pallas=True, int8=True,
+                                            interpret=True))
+    monkeypatch.setenv('DAFT_VOC_INT8', '1')
+    via_env = np.asarray(generator_forward(params, mel, cfg,
+                                           use_pallas=True,
+                                           interpret=True))
+    np.testing.assert_array_equal(explicit, via_env)
+    monkeypatch.setenv('DAFT_VOC_INT8', '0')
+    off = np.asarray(generator_forward(params, mel, cfg, use_pallas=True,
+                                       interpret=True))
+    assert np.abs(off - explicit).max() > 0   # int8 actually changes bits
