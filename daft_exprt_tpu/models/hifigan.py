@@ -18,11 +18,76 @@ convert by folding only.
 from typing import Any, Dict
 
 import os
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 LRELU_SLOPE = 0.1
+
+# universal LJSpeech/22kHz HiFi-GAN generator, publicly mirrored — same
+# source the reference auto-downloads (reference:
+# src/daft_exprt/vocoder/hifigan.py:22-25,43-68)
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.expanduser('~'), '.cache', 'daft_exprt_tpu', 'hifigan')
+DEFAULT_CHECKPOINT_URL = ('https://huggingface.co/espnet/'
+                          'kan-bayashi_ljspeech_hifigan/resolve/main/'
+                          'generator.pth?download=1')
+DEFAULT_CHECKPOINT_HF_REPO = 'espnet/kan-bayashi_ljspeech_hifigan'
+DEFAULT_CHECKPOINT_NAME = 'hifigan_ljspeech_generator.pth'
+
+
+def download_default_checkpoint(cache_dir=None, url=None):
+    """Fetch (and cache) the universal HiFi-GAN generator checkpoint
+    (reference: src/daft_exprt/vocoder/hifigan.py:43-68).
+
+    Network access is opt-in: set ``DAFT_ALLOW_DOWNLOAD=1`` (this build
+    targets offline/zero-egress environments, so accidental egress is an
+    error, not a fallback). ``DAFT_HIFIGAN_URL`` overrides the source URL
+    and accepts ``file://`` URLs (used by the tests). Tries
+    huggingface_hub first when available, then plain HTTP(S) — mirroring
+    the reference's two-stage fallback. Returns the cached local path."""
+    import shutil
+    import urllib.request
+
+    cache_dir = cache_dir or os.environ.get('DAFT_HIFIGAN_CACHE',
+                                            DEFAULT_CACHE_DIR)
+    url = url or os.environ.get('DAFT_HIFIGAN_URL', DEFAULT_CHECKPOINT_URL)
+    dst = os.path.join(cache_dir, DEFAULT_CHECKPOINT_NAME)
+    if os.path.isfile(dst):
+        return dst
+    if os.environ.get('DAFT_ALLOW_DOWNLOAD', '0') != '1':
+        raise RuntimeError(
+            'no vocoder checkpoint given and the universal-checkpoint '
+            f'download is disabled (offline default). Either pass '
+            f'--vocoder_checkpoint / checkpoint_path explicitly, or set '
+            f'DAFT_ALLOW_DOWNLOAD=1 to fetch {url} into {cache_dir}.')
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = dst + '.part'
+    if not url.startswith('file://'):
+        try:
+            from huggingface_hub import hf_hub_download
+            hf_path = hf_hub_download(repo_id=DEFAULT_CHECKPOINT_HF_REPO,
+                                      filename='generator.pth')
+            shutil.copyfile(hf_path, dst)
+            return dst
+        except ImportError:
+            pass
+        except Exception as exc:                     # noqa: BLE001
+            warnings.warn(f'huggingface_hub download failed ({exc}); '
+                          'falling back to direct HTTP')
+    req = urllib.request.Request(url, headers={'User-Agent': 'Mozilla/5.0'})
+    try:
+        with urllib.request.urlopen(req) as resp, open(tmp, 'wb') as out:
+            shutil.copyfileobj(resp, out)
+    except Exception:
+        if os.path.isfile(tmp):
+            os.remove(tmp)
+        raise
+    os.replace(tmp, dst)
+    return dst
+
 
 DEFAULT_CONFIG = {
     'sampling_rate': 22050,
@@ -152,11 +217,24 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
     fused kernels' resblock matmuls to int8 (per-channel weight scales,
     per-tile activation scales) — 2x MXU rate on the matmul-bound levels
     at a ~1e-2 relative waveform error (quantized-serving mode, not the
-    parity path).
+    parity path). Requires ``use_pallas=True`` (raises otherwise); levels
+    whose channel width is not a multiple of 32 (never the case for the
+    real V1 config) silently fall back to the bf16 kernels — int8 sublane
+    slices need 32-granules.
     """
     cfg = config or DEFAULT_CONFIG
     if int8 is None:
+        # env-derived opt-in: warn (a global env var may legitimately
+        # coexist with non-pallas parity calls) instead of raising
         int8 = os.environ.get('DAFT_VOC_INT8', '0') == '1'
+        if int8 and not use_pallas:
+            warnings.warn('DAFT_VOC_INT8=1 has no effect with '
+                          'use_pallas=False — serving full precision')
+    elif int8 and not use_pallas:
+        raise ValueError('generator_forward(int8=True) requires '
+                         'use_pallas=True — the int8 path lives in the '
+                         'fused Pallas kernels; the XLA path would '
+                         'silently serve full precision')
     int8 = bool(int8) and use_pallas
     num_kernels = len(cfg['resblock_kernel_sizes'])
     resblock = _resblock1 if cfg['resblock'] == '1' else _resblock2
@@ -435,7 +513,10 @@ class HiFiGanVocoder:
         self.config = config or DEFAULT_CONFIG
         if params is None:
             if checkpoint_path is None:
-                raise ValueError('provide params or checkpoint_path')
+                # reference behavior: auto-fetch the universal checkpoint
+                # (gated behind DAFT_ALLOW_DOWNLOAD — see
+                # download_default_checkpoint)
+                checkpoint_path = download_default_checkpoint()
             params = load_torch_generator(checkpoint_path, self.config)
         self.params = params
         if fast is None:

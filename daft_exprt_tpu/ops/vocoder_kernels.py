@@ -596,8 +596,12 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
     o_ref = refs[n_w + n_post + n_ups]
     x_scratch = refs[n_w + n_post + n_ups + 1]
     sem = refs[n_w + n_post + n_ups + 2]
-    stack_ref = refs[n_w + n_post + n_ups + 3]
-    stack8_ref = refs[n_w + n_post + n_ups + 4] if q8 else None
+    # in q8 mode the bf16 stack only feeds the conv_post epilogue — it is
+    # not allocated at all when post_k == 0 (dead VMEM otherwise)
+    has_bf16_stack = (not q8) or bool(post_k)
+    stack_ref = refs[n_w + n_post + n_ups + 3] if has_bf16_stack else None
+    stack8_ref = refs[n_w + n_post + n_ups + (4 if has_bf16_stack else 3)] \
+        if q8 else None
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -803,8 +807,14 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         scratch_shapes=[
             pltpu.VMEM((p * C, tile + 2 * halo_in), x.dtype),
             pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((max_w * p * C, tile + 2 * halo), x.dtype),
-        ] + ([pltpu.VMEM((chain_max_w * p * C, tile + 2 * halo), jnp.int8)]
+        ] + ([pltpu.VMEM((
+                 # in int8_chain mode the bf16 stack only feeds the
+                 # conv_post epilogue — size it to the post spec's W
+                 ((_phase_conv_spec(post_k, 1, p)['W'] if int8_chain
+                   else max_w) * p * C),
+                 tile + 2 * halo), x.dtype)]
+             if (not int8_chain or post_k) else []) + \
+            ([pltpu.VMEM((chain_max_w * p * C, tile + 2 * halo), jnp.int8)]
              if int8_chain else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),

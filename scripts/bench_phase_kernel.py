@@ -102,7 +102,7 @@ def main():
 
     import os as _os
     todo = [('relayout-only', run_relayout, (x,)),
-            ('ct-merged', run_ct, (params, x)),
+            ('ct-merged' if ct_merge else 'ct-pertap', run_ct, (params, x)),
             (f'phase-p{p}', run_phase, (params, x)),
             (f'phase-p{p}-int8', run_phase_int8, (params, x)),
             ('ct-int8', run_ct_int8, (params, x)),

@@ -254,7 +254,7 @@ def evaluate(args):
     model = params = None
     if args.checkpoint:
         from scripts.synthesize import load_model_for_synthesis
-        model, params, hparams = load_model_for_synthesis(args.checkpoint)
+        model, params, hparams, _extra = load_model_for_synthesis(args.checkpoint)
 
     per_utt, wers = [], []
     for entry in entries:

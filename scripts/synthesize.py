@@ -175,8 +175,9 @@ def accent_embedding_from_wav_dir(model, params, wav_dir, hparams,
 
 def load_model_for_synthesis(checkpoint_path, config_overrides=None):
     """Checkpoint (native msgpack or reference .pt) → (model, params,
-    hparams) reconstructing the training config
-    (reference: scripts/synthesize.py:198-205)."""
+    hparams, extra) reconstructing the training config; ``extra`` carries
+    auxiliary checkpoint payloads (e.g. memorized embeddings) and is ``{}``
+    for reference ``.pt`` files (reference: scripts/synthesize.py:198-205)."""
     from daft_exprt_tpu import checkpoint as ckpt
     from daft_exprt_tpu.hparams import HyperParams
     from daft_exprt_tpu.models.daft_exprt import DaftExprt
@@ -327,11 +328,10 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
 
     vocoder = None
     if not args.use_griffin_lim:
-        if not args.vocoder_checkpoint:
-            raise ValueError('provide --vocoder_checkpoint (no network '
-                             'download in this environment) or '
-                             '--use_griffin_lim')
-        vocoder = load_hifigan_vocoder(args.vocoder_checkpoint,
+        # no explicit --vocoder_checkpoint → the universal-checkpoint
+        # auto-download path (reference: vocoder/hifigan.py:43-68), gated
+        # behind DAFT_ALLOW_DOWNLOAD with a clean offline error
+        vocoder = load_hifigan_vocoder(args.vocoder_checkpoint or None,
                                        fast=args.fast_vocoder or None)
 
     synthesizer = Synthesizer(model, params, hparams, vocoder=vocoder)

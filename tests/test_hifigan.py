@@ -224,3 +224,46 @@ def test_fast_vocoder_wrapper_close_to_exact():
     # interior matches; the crop boundary sees pad frames in its
     # receptive field
     assert np.abs(fast_odd[:-64] - exact_odd[:-64]).max() < 0.05
+
+
+def test_download_default_checkpoint_gated_and_file_url(tmp_path,
+                                                        monkeypatch):
+    """Universal-checkpoint auto-download (reference:
+    vocoder/hifigan.py:43-68): offline default raises a clean error;
+    with DAFT_ALLOW_DOWNLOAD=1 a file:// source downloads, caches, and
+    loads through HiFiGanVocoder with no checkpoint_path."""
+    from daft_exprt_tpu.models.hifigan import (
+        DEFAULT_CHECKPOINT_NAME, download_default_checkpoint)
+    from tests.ref_loader import load_reference_module
+
+    cache = tmp_path / 'cache'
+    monkeypatch.setenv('DAFT_HIFIGAN_CACHE', str(cache))
+    monkeypatch.delenv('DAFT_ALLOW_DOWNLOAD', raising=False)
+
+    # offline default: clean, actionable error — no silent network access
+    with pytest.raises(RuntimeError, match='DAFT_ALLOW_DOWNLOAD'):
+        download_default_checkpoint()
+
+    # build a real (tiny) generator checkpoint and serve it via file://
+    ref_hifigan = load_reference_module('vocoder.hifigan')
+    torch.manual_seed(0)
+    tgen = ref_hifigan.HiFiGANGenerator(SMALL_CONFIG)
+    src = tmp_path / 'generator.pth'
+    torch.save({'generator': tgen.state_dict()}, str(src))
+    monkeypatch.setenv('DAFT_ALLOW_DOWNLOAD', '1')
+    monkeypatch.setenv('DAFT_HIFIGAN_URL', 'file://' + str(src))
+    path = download_default_checkpoint()
+    assert path == str(cache / DEFAULT_CHECKPOINT_NAME)
+    assert (cache / DEFAULT_CHECKPOINT_NAME).is_file()
+
+    # cached: a second call must not hit the URL again
+    monkeypatch.setenv('DAFT_HIFIGAN_URL', 'file:///nonexistent')
+    assert download_default_checkpoint() == path
+
+    # end-to-end: no checkpoint_path → downloader → usable vocoder
+    voc = HiFiGanVocoder(config=SMALL_CONFIG)
+    mel = np.log(np.random.RandomState(0)
+                 .rand(80, 32).astype(np.float32) + 1e-5)
+    wav = voc.infer(mel)
+    assert wav.shape == (32 * 16,)
+    assert np.isfinite(wav).all()

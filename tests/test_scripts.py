@@ -210,3 +210,57 @@ def test_evaluate_prosody_only(tmp_path):
     assert report['energy_npvi']['mean'] > 0
     assert (tmp_path / 'out' / 'evaluation_report.json').exists()
     assert (tmp_path / 'out' / 'hist_energy_npvi.png').exists()
+
+
+def test_evaluate_with_checkpoint(tmp_path):
+    """evaluate() end-to-end with a tiny native checkpoint: exercises the
+    accent-embedding-cosine leg (reference:
+    compute_wer_and_accent_metrics.py:923-953) and regression-guards the
+    load_model_for_synthesis 4-tuple unpack (round-2 crash)."""
+    import argparse
+    from daft_exprt_tpu import checkpoint as ckpt
+    from daft_exprt_tpu.frontend.audio import save_wav
+    from daft_exprt_tpu.train import init_model_and_state
+    from scripts.evaluation.compute_wer_and_accent_metrics import evaluate
+    from tests.test_training import SMALL
+
+    config = dict(
+        language='english', speakers=['speaker_0'],
+        phoneme_encoder=dict(SMALL), accent_encoder=dict(SMALL),
+        frame_decoder=dict(SMALL),
+        length_buckets=[16, 32], frame_buckets=[64, 128])
+    hp = HyperParams(verbose=False, training_files='unused',
+                     validation_files='unused',
+                     output_directory=str(tmp_path / 'ckpt_out'), **config)
+    _, params = init_model_and_state(hp)
+    ck = str(tmp_path / 'tiny_ckpt')
+    ckpt.save_checkpoint(ck, params, config_params=config)
+
+    sr = hp.sampling_rate
+    t = np.arange(sr) / sr
+    rng = np.random.RandomState(0)
+    lines = []
+    for i, f0 in enumerate((150.0, 220.0)):
+        wav = (0.3 * np.sin(2 * np.pi * f0 * t)
+               * (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t))
+               + 0.01 * rng.randn(len(t))).astype(np.float32)
+        gen = tmp_path / f'gen{i}.wav'
+        ref = tmp_path / f'ref{i}.wav'
+        save_wav(str(gen), wav, sr)
+        save_wav(str(ref), wav[::-1].copy(), sr)
+        lines.append(f'{gen}|hello world|{ref}')
+    manifest = tmp_path / 'manifest.txt'
+    manifest.write_text('\n'.join(lines))
+
+    args = argparse.Namespace(
+        manifest=str(manifest), output_dir=str(tmp_path / 'out'),
+        checkpoint=ck, wer=False, accent_id=False, nisqa=False,
+        nisqa_checkpoint='nisqa.tar', whisper_dtw=False, target_accent='',
+        whisper_model='base', pitch_method='device')
+    report = evaluate(args)
+    assert report['n_utterances'] == 2
+    assert report['accent_emb_cosine_dist'] is not None
+    assert report['accent_emb_cosine_dist']['n'] == 2
+    assert all(0.0 <= r['accent_emb_cosine_dist'] <= 2.0
+               for r in report['per_utterance'])
+    assert (tmp_path / 'out' / 'evaluation_report.json').exists()
