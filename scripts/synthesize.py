@@ -228,6 +228,10 @@ def compute_corr(ref_vals, gen_vals):
     (reference: scripts/synthesize.py:538-548)."""
     ref = np.asarray(ref_vals, dtype=np.float64)
     gen = np.asarray(gen_vals, dtype=np.float64)
+    # generated tracks can be a symbol shorter than the input prosody
+    # (bucket crop) — compare over the common prefix
+    n = min(len(ref), len(gen))
+    ref, gen = ref[:n], gen[:n]
     valid = np.isfinite(ref) & np.isfinite(gen)
     if valid.sum() < 2:
         return None
@@ -279,8 +283,33 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
     model, params, hparams, ckpt_extra = load_model_for_synthesis(
         args.checkpoint, overrides)
 
+    # style-bank defaults (reference: scripts/synthesize.py:656 defaults
+    # --style_bank to the bundled wav dir): a bank built by
+    # scripts/make_style_bank.py carries *.prosody / spk_emb.npy / wavs,
+    # making synthesis runnable with just a checkpoint + output dir
+    bank = getattr(args, 'style_bank', '') or ''
+    bank_prosody = bank_spk_emb = bank_wavs = None
+    if bank and os.path.isdir(bank):
+        prosody_files = sorted(
+            f for f in os.listdir(bank) if f.endswith('.prosody'))
+        if prosody_files:
+            bank_prosody = os.path.join(bank, prosody_files[0])
+        if os.path.isfile(os.path.join(bank, 'spk_emb.npy')):
+            bank_spk_emb = os.path.join(bank, 'spk_emb.npy')
+        if any(f.endswith('.wav') for f in os.listdir(bank)):
+            bank_wavs = bank
+
+    prosody_file = args.symbol_prosody_file or bank_prosody
+    if not prosody_file:
+        raise ValueError(
+            'provide --symbol_prosody_file, or populate the style bank '
+            f'("{bank or "--style_bank"}") with a *.prosody file via '
+            'scripts/make_style_bank.py --features_dir (the prosody '
+            'predictor is external — see README)')
+    if prosody_file is bank_prosody:
+        _logger.info(f'using style-bank prosody: {prosody_file}')
     sentences, file_names, external_prosody = parse_symbol_prosody_file(
-        args.symbol_prosody_file, hparams)
+        prosody_file, hparams)
     n = len(sentences)
     speaker_ids = [args.speaker_id] * n
 
@@ -304,10 +333,14 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
         spk_emb = np.asarray(ckpt_extra['memorized_spk_emb'],
                              dtype=np.float32).reshape(-1)
         _logger.info('using memorized speaker embedding from the checkpoint')
+    elif bank_spk_emb:
+        spk_emb = np.load(bank_spk_emb).reshape(-1).astype(np.float32)
+        _logger.info(f'using style-bank speaker embedding: {bank_spk_emb}')
     else:
         raise ValueError('provide --spk_emb_audios_dir or --spk_emb_file, '
-                         'or use an adapted checkpoint with a memorized '
-                         'speaker embedding')
+                         'use an adapted checkpoint with a memorized '
+                         'speaker embedding, or add spk_emb.npy to the '
+                         'style bank (scripts/make_style_bank.py)')
 
     if args.accent_emb_audios_dir:
         accent_emb = accent_embedding_from_wav_dir(
@@ -321,10 +354,15 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
         _logger.info('using memorized accent embedding from the checkpoint')
     elif args.neutralize_prosody:
         accent_emb = np.zeros(model.hidden_dim, dtype=np.float32)
+    elif bank_wavs:
+        accent_emb = accent_embedding_from_wav_dir(
+            model, params, bank_wavs, hparams)
+        _logger.info(f'using style-bank accent references: {bank_wavs}')
     else:
         raise ValueError('provide --accent_emb_audios_dir, '
-                         '--accent_emb_file, --neutralize_prosody, or an '
-                         'accent-adapted checkpoint (memorized_accent_emb)')
+                         '--accent_emb_file, --neutralize_prosody, an '
+                         'accent-adapted checkpoint (memorized_accent_emb),'
+                         ' or add reference wavs to the style bank')
 
     vocoder = None
     if not args.use_griffin_lim:
@@ -378,9 +416,15 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
             save_wav(os.path.join(args.output_dir, f'{name}_smooth.wav'),
                      audio, hparams.sampling_rate)
 
-    # prosody comparison plots vs the input prosody file
-    for (name, (dur, dur_i, nrg, f0, mel, w)), prosody in zip(
-            predictions.items(), external_prosody):
+    # prosody comparison plots vs the input prosody file. predictions are
+    # keyed '{name}_spk_{sid}' and come back sorted by length — pair by
+    # name, not by position
+    prosody_by_name = {
+        f'{base}_spk_{sid}': prosody
+        for base, sid, prosody in zip(file_names, speaker_ids,
+                                      external_prosody)}
+    for name, (dur, dur_i, nrg, f0, mel, w) in predictions.items():
+        prosody = prosody_by_name[name]
         plot_prosody_curves(
             prosody['symbols'], prosody['pitch'], f0[:len(prosody['pitch'])],
             prosody['energy'], nrg[:len(prosody['energy'])],
@@ -396,9 +440,17 @@ if __name__ == '__main__':
     parser.add_argument('-out', '--output_dir', type=str, required=True)
     parser.add_argument('-chk', '--checkpoint', type=str, required=True)
     parser.add_argument('-spf', '--symbol_prosody_file', type=str,
-                        required=True,
+                        default='',
                         help='(symbol, duration, pitch, energy) tuples file '
-                             '(the prosody predictor is external)')
+                             '(the prosody predictor is external); defaults '
+                             'to the style bank\'s *.prosody file')
+    parser.add_argument('-sb', '--style_bank', type=str,
+                        default=os.path.join(PROJECT_ROOT, 'scripts',
+                                             'style_bank', 'english'),
+                        help='directory with reference material for the '
+                             'zero-argument demo: *.prosody, spk_emb.npy, '
+                             'reference wavs (build with '
+                             'scripts/make_style_bank.py)')
     parser.add_argument('-sid', '--speaker_id', type=int, default=0)
     parser.add_argument('--config_overrides', type=str, default='')
     parser.add_argument('--use_griffin_lim', action='store_true')

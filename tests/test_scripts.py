@@ -264,3 +264,67 @@ def test_evaluate_with_checkpoint(tmp_path):
     assert all(0.0 <= r['accent_emb_cosine_dist'] <= 2.0
                for r in report['per_utterance'])
     assert (tmp_path / 'out' / 'evaluation_report.json').exists()
+
+
+def test_zero_argument_demo_with_style_bank(tmp_path):
+    """One-command demo (reference: synthesize.py:656 default style bank):
+    make_style_bank --features_dir builds the bank, then synthesize() runs
+    with only checkpoint + output_dir — prosody, speaker embedding, and
+    accent references all come from the bank."""
+    import argparse
+    from daft_exprt_tpu import checkpoint as ckpt
+    from daft_exprt_tpu.frontend.audio import save_wav
+    from daft_exprt_tpu.train import init_model_and_state
+    from scripts.make_style_bank import bank_from_features
+    from scripts.synthesize import synthesize
+    from tests.synth_data import build_synthetic_dataset
+    from tests.test_training import SMALL
+
+    root = str(tmp_path / 'ds')
+    _, _, features_root = build_synthetic_dataset(root, n_speakers=1,
+                                                  files_per_speaker=4)
+    # place source wavs next to the features so the bank picks them up
+    sr = 22050
+    t = np.arange(sr) / sr
+    for i in range(4):
+        save_wav(os.path.join(features_root, 'speaker_0',
+                              f'utt_{i:03d}.wav'),
+                 (0.3 * np.sin(2 * np.pi * (140 + 20 * i) * t))
+                 .astype(np.float32), sr)
+
+    bank = str(tmp_path / 'bank')
+    bank_from_features(features_root, bank, nb_files=3, seed=0)
+    assert os.path.isfile(os.path.join(bank, 'bank.prosody'))
+    assert os.path.isfile(os.path.join(bank, 'spk_emb.npy'))
+    assert os.path.isfile(os.path.join(bank, 'speaker_stats.json'))
+    assert any(f.endswith('.wav') for f in os.listdir(bank))
+
+    stats = {'spk 0': {'pitch': {'mean': 5.0, 'std': 0.2},
+                       'energy': {'mean': 8.0, 'std': 5.0}}}
+    config = dict(language='english', speakers=['speaker_0'],
+                  phoneme_encoder=dict(SMALL), accent_encoder=dict(SMALL),
+                  frame_decoder=dict(SMALL), length_buckets=[16, 32],
+                  frame_buckets=[64, 128], stats=stats)
+    hp = HyperParams(verbose=False, training_files='unused',
+                     validation_files='unused',
+                     output_directory=str(tmp_path / 'exp'), **config)
+    _, params = init_model_and_state(hp)
+    ck = str(tmp_path / 'demo_ckpt')
+    ckpt.save_checkpoint(ck, params, config_params=config)
+
+    args = argparse.Namespace(
+        output_dir=str(tmp_path / 'out'), checkpoint=ck,
+        symbol_prosody_file='', style_bank=bank, speaker_id=0,
+        config_overrides='', use_griffin_lim=True, fast_vocoder=False,
+        vocoder_checkpoint='', reduce_buzz=False, batch_size=4,
+        real_time_factor=False, new_speaker_stats='',
+        neutralize_prosody=False, alpha_dur=1.0, alpha_pitch=1.0,
+        alpha_energy=1.0, spk_emb_audios_dir='', spk_emb_file='',
+        accent_emb_audios_dir='', accent_emb_file='')
+    preds = synthesize(args)
+    assert len(preds) == 3
+    wavs = [f for f in os.listdir(args.output_dir) if f.endswith('.wav')]
+    assert len(wavs) == 3
+    from daft_exprt_tpu.frontend.audio import load_wav
+    w, _ = load_wav(os.path.join(args.output_dir, wavs[0]), target_sr=sr)
+    assert np.isfinite(w).all() and len(w) > 1000
