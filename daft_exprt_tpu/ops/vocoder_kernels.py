@@ -369,6 +369,136 @@ def pack_mrf_weights(params, level, kernel_sizes, dilations,
 
 
 # ----------------------------------------------------------------------
+# Time-in-sublanes MRF kernel for wide-channel levels (C >= 128)
+# ----------------------------------------------------------------------
+#
+# The ct kernel expresses each conv tap as a LANE-shifted slice of the
+# (C, L) tile — Mosaic materializes every shifted operand with VPU lane
+# rotations, ~126 rotated copies per tile across the V1 chain. Measured:
+# that rotation traffic holds L1 at ~67% MXU (264 ms vs its 176 ms dense
+# floor at B=128). In (L, C) layout the tap shift is a SUBLANE offset —
+# plain VMEM addressing, no rotation — and the matmul (L, C_in) @
+# (C_in, C_out) fills the MXU whenever C >= 128. Narrow levels stay on
+# the phase kernel (lanes would idle at C < 128); wide levels route here.
+
+def _fused_mrf_tc_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
+    """MRF fusion, time-in-sublanes. x_hbm: (B, T + 2*halo, C) in HBM;
+    refs = [w1_b, b1_b, w2_b, b2_b] * nb + o_ref + x_scratch + sem with
+    w: (n_dil, k, C_in, C_out) and b: (n_dil, C). o block: (1, tile, C)."""
+    o_ref = refs[4 * nb]
+    x_scratch = refs[4 * nb + 1]
+    sem = refs[4 * nb + 2]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * tile, tile + 2 * halo), :],
+        x_scratch, sem)
+    copy.start()
+    copy.wait()
+
+    cdt = x_scratch.dtype
+    x0 = x_scratch[:]                          # (tile + 2*halo, C)
+    acc_out = None
+    for blk in range(nb):
+        k = ks[blk]
+        half = (k - 1) // 2
+        w1_ref, b1_ref, w2_ref, b2_ref = refs[4 * blk: 4 * blk + 4]
+        cur = x0.astype(jnp.float32)
+        cur_len = tile + 2 * halo
+        for i, d in enumerate(dils[blk]):
+            h1 = d * half
+            L1 = cur_len - 2 * h1
+            L2 = L1 - 2 * half
+            t_in = _lrelu(cur).astype(cdt)
+            acc = None
+            for tap in range(k):
+                seg = t_in[tap * d: tap * d + L1]      # sublane slice: free
+                c = jnp.dot(seg, w1_ref[i, tap],
+                            preferred_element_type=jnp.float32)
+                acc = c if acc is None else acc + c
+            acc = acc + b1_ref[i][None, :]
+            t2 = _lrelu(acc).astype(cdt)
+            acc2 = None
+            for tap in range(k):
+                seg = t2[tap: tap + L2]
+                c = jnp.dot(seg, w2_ref[i, tap],
+                            preferred_element_type=jnp.float32)
+                acc2 = c if acc2 is None else acc2 + c
+            acc2 = acc2 + b2_ref[i][None, :]
+            shrink = h1 + half
+            cur = cur[shrink: shrink + L2] + acc2
+            cur_len = L2
+        extra = (cur_len - tile) // 2
+        tile_out = cur[extra: extra + tile]
+        acc_out = tile_out if acc_out is None else acc_out + tile_out
+    o_ref[0, :, :] = (acc_out * (1.0 / nb)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
+                                             'tile', 'interpret'))
+def fused_mrf_tc(x, weights, kernel_sizes, dilations, tile=4096,
+                 interpret=False):
+    """Fused MRF resblock group, (B, T, C) layout — the wide-level twin of
+    :func:`fused_mrf_ct`. ``weights`` from :func:`pack_mrf_tc_weights`.
+    Interior samples exact vs the per-conv reference; utterance edges
+    collapse SAME padding across the chain like the other fused kernels."""
+    B, T, C = x.shape
+    nb = len(kernel_sizes)
+    halo = max(resblock1_halo(k, d)
+               for k, d in zip(kernel_sizes, dilations))
+    if T % tile != 0:
+        raise ValueError(f'T={T} not a multiple of tile={tile}')
+    n_tiles = T // tile
+    x_padded = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
+
+    kernel = functools.partial(
+        _fused_mrf_tc_kernel, tile=tile, halo=halo,
+        ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
+        nb=nb)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(
+            w.shape, (lambda b, t, _n=w.ndim: (0,) * _n),
+            memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * halo, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(x_padded, *weights)
+
+
+def pack_mrf_tc_weights(params, level, kernel_sizes, dilations):
+    """Stack one level's resblock weights for :func:`fused_mrf_tc`:
+    w as (n_dil, k, C_in, C_out) — torch (out, in, k) transposed so the
+    contraction reads (L, C_in) @ (C_in, C_out) — and b as (n_dil, C)."""
+    out = []
+    for j, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
+        rb = params[f'resblock_{level}_{j}']
+        for prefix in ('convs1', 'convs2'):
+            ws, bs = [], []
+            for i in range(len(dils)):
+                w = rb[f'{prefix}_{i}']['w']              # (out, in, k)
+                ws.append(jnp.transpose(w, (2, 1, 0)))    # (k, in, out)
+                bs.append(rb[f'{prefix}_{i}']['b'])
+            out.append(jnp.stack(ws))                     # (n_dil,k,in,out)
+            out.append(jnp.stack(bs))                     # (n_dil, C)
+    return out
+
+
+# ----------------------------------------------------------------------
 # Phase-major (space-to-depth) MRF kernel for narrow-channel levels
 # ----------------------------------------------------------------------
 #

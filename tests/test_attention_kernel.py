@@ -92,6 +92,7 @@ def test_multi_qblock_grid():
         atol=5e-6)
 
 
+@pytest.mark.slow
 def test_integrated_model_exact_at_f32(monkeypatch):
     """DaftExprt with fused_attention=True (interpret) is bit-identical to
     the XLA attention path at float32."""

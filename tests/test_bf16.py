@@ -3,8 +3,10 @@ outputs come back f32."""
 import numpy as np
 
 from tests.test_model_parity import jax_model, make_batch
+import pytest
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_f32():
     import jax
     import dataclasses

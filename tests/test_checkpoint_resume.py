@@ -20,6 +20,7 @@ def synth(tmp_path_factory):
     return (root, *build_synthetic_dataset(root, files_per_speaker=6))
 
 
+@pytest.mark.slow
 def test_resume_continues_iteration_and_state(synth):
     root, train_list, val_list, _ = synth
     mesh = make_mesh(n_data=1, devices=jax.devices('cpu')[:1])

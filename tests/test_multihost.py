@@ -9,8 +9,10 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.timeout(620)
+@pytest.mark.slow
 def test_two_process_training_rehearsal():
+    # the subprocess call below carries its own timeout=600 guard
+    # (pytest-timeout is not installed — a mark would silently no-op)
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)      # script sets its own device count
     r = subprocess.run(

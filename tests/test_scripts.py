@@ -141,6 +141,7 @@ def test_compute_spk_stats(tmp_path):
     assert stats['energy']['mean'] == pytest.approx(13.0)
 
 
+@pytest.mark.slow
 def test_cli_help_surfaces():
     """Every CLI parses --help (import + argparse wiring sanity)."""
     scripts = ['training.py', 'synthesize.py', 'extract_symbol_prosody.py',

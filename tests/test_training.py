@@ -88,6 +88,7 @@ def test_lr_schedule(synth):
         hp.max_learning_rate / 2, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_train_loop_dp_mesh(synth):
     """3 optimizer steps on an 8-device CPU data-parallel mesh."""
     root, train_list, val_list = synth
@@ -101,6 +102,7 @@ def test_train_loop_dp_mesh(synth):
     assert any(c.startswith('DaftExprt_3') for c in ckpts)
 
 
+@pytest.mark.slow
 def test_train_with_accumulation(synth):
     root, train_list, val_list = synth
     hp = make_hp(root, train_list, val_list, batch_size=1,
@@ -110,6 +112,7 @@ def test_train_with_accumulation(synth):
     assert np.isfinite(metrics['loss'])
 
 
+@pytest.mark.slow
 def test_train_step_prng_impls_smoke(synth):
     """The step folds the iteration into the key internally; both PRNG
     impls ('rbg' is the TPU-fast default — threefry mask generation is

@@ -354,3 +354,59 @@ def test_generator_int8_env_routing(monkeypatch):
     off = np.asarray(generator_forward(params, mel, cfg, use_pallas=True,
                                        interpret=True))
     assert np.abs(off - explicit).max() > 0   # int8 actually changes bits
+
+
+@pytest.mark.parametrize('C', [128, 256])
+def test_fused_mrf_tc_interior_exact(C):
+    """Time-in-sublanes MRF kernel (wide levels) vs per-block reference."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import fused_mrf_tc
+    rng = np.random.RandomState(5)
+    ks = (3, 7, 11)
+    dils = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    B, T = 2, 1024
+    x_tc = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.1)
+    weights, ref_acc = [], None
+    for k, d in zip(ks, dils):
+        w1 = jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02)
+        b1 = jnp.asarray(rng.randn(len(d), C).astype(np.float32) * .01)
+        w2 = jnp.asarray(rng.randn(len(d), k, C, C).astype(np.float32) * .02)
+        b2 = jnp.asarray(rng.randn(len(d), C).astype(np.float32) * .01)
+        weights += [w1, b1, w2, b2]           # (n_dil, k, C_in, C_out)
+        r = resblock1_reference(x_tc, w1, b1, w2, b2, k, d)
+        ref_acc = r if ref_acc is None else ref_acc + r
+    ref = np.asarray(ref_acc / len(ks))
+    out = np.asarray(fused_mrf_tc(x_tc, weights, ks, dils, tile=512,
+                                  interpret=True))
+    h = max(resblock1_halo(k, d) for k, d in zip(ks, dils))
+    assert np.abs(out[:, h:-h, :] - ref[:, h:-h, :]).max() < 1e-5
+    assert np.abs(out - ref).max() < 0.1
+
+
+def test_pack_mrf_tc_weights_matches_manual():
+    """pack_mrf_tc_weights transposes torch-layout kernels correctly:
+    the packed kernel reproduces the ct kernel's output (transposed)."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_ct, fused_mrf_tc, pack_mrf_tc_weights, pack_mrf_weights)
+    rng = np.random.RandomState(6)
+    ks, dils = (3, 7), ((1, 3), (1, 3))
+    B, C, T = 1, 128, 512
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        rb = {}
+        for i in range(len(d)):
+            for pre in ('convs1', 'convs2'):
+                rb[f'{pre}_{i}'] = {
+                    'w': jnp.asarray(rng.randn(C, C, k).astype(np.float32)
+                                     * 0.02),
+                    'b': jnp.asarray(rng.randn(C).astype(np.float32) * .01)}
+        params[f'resblock_0_{j}'] = rb
+    x_ct = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    w_ct = pack_mrf_weights(params, 0, ks, dils)
+    y_ct = np.asarray(fused_mrf_ct(x_ct, w_ct, ks, dils, tile=256,
+                                   interpret=True))
+    w_tc = pack_mrf_tc_weights(params, 0, ks, dils)
+    y_tc = np.asarray(fused_mrf_tc(jnp.swapaxes(x_ct, 1, 2), w_tc, ks,
+                                   dils, tile=256, interpret=True))
+    assert np.abs(np.swapaxes(y_tc, 1, 2) - y_ct).max() < 1e-5

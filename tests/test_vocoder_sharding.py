@@ -1,6 +1,7 @@
 """Vocoder tensor-parallel sharding on the virtual CPU mesh: sharded
 execution matches the unsharded reference."""
 import numpy as np
+import pytest
 
 from daft_exprt_tpu.models.hifigan import generator_forward, init_generator_params
 from daft_exprt_tpu.parallel.mesh import make_mesh
@@ -37,6 +38,7 @@ def test_sharded_vocoder_matches_unsharded():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gan_steps_dp_mesh_match_single_device():
     """GAN D/G steps sharded over an 8-device data mesh produce the same
     losses and parameter updates as the single-device steps."""

@@ -103,6 +103,7 @@ def test_msd_shapes_and_sn_state():
     assert not np.allclose(u_old, u_new)
 
 
+@pytest.mark.slow
 def test_finetune_dataset_and_gan_smoke(tmp_path):
     """2 GAN steps on a tiny config + real dataset cropping."""
     import jax
@@ -164,6 +165,7 @@ def test_finetune_dataset_and_gan_smoke(tmp_path):
         assert mel_l1 > 0
 
 
+@pytest.mark.slow
 def test_gan_steps_bf16_mixed_precision():
     """bf16-compute GAN steps: finite losses close to the f32 steps at
     init, params/optimizer stay f32, and the SN state still updates."""
