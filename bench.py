@@ -93,6 +93,27 @@ def main():
         out['spk_embs'] = b['spk_embs'] + np.float32(i * 1e-3)
         return out
 
+    # BENCH_CHAIN=K: device-time mode — run K serially-dependent pipeline
+    # iterations inside ONE jit call (each iteration's input is perturbed
+    # by the previous scalar, so the device cannot overlap or elide them)
+    # and divide by K. The ~25 ms tunnel round-trip and host dispatch
+    # amortize to elapsed/K, giving a stable DEVICE-time figure for small
+    # batches; the plain B=1 wall-clock RTF is tunnel-dominated and
+    # varies 4x between sessions for identical code (CLAUDE.md).
+    CHAIN = int(os.environ.get('BENCH_CHAIN', '0'))
+    if CHAIN:
+        inner = pipeline.__wrapped__      # un-jitted pipeline body
+
+        @jax.jit
+        def pipeline(params, voc_params, b):
+            def body(carry, _):
+                bb = dict(b)
+                bb['spk_embs'] = b['spk_embs'] + carry * np.float32(1e-9)
+                return inner(params, voc_params, bb), ()
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                  length=CHAIN)
+            return acc
+
     # warmup / compile (fetch forces completion). If any Pallas path fails
     # to compile on this worker (tunnel flake), fall back to the XLA bf16
     # paths (vocoder AND attention) rather than recording nothing.
@@ -153,8 +174,13 @@ def main():
     per_run = [elapsed / runs] * runs
 
     nb_wav_samples = (T - 1) * hp.hop_length + hp.filter_length
-    audio_seconds = runs * B * nb_wav_samples / hp.sampling_rate
+    audio_seconds = max(CHAIN, 1) * runs * B * nb_wav_samples \
+        / hp.sampling_rate
     value = audio_seconds / elapsed
+    if CHAIN:
+        ms_per_iter = elapsed / (runs * CHAIN) * 1000
+        print(f'# chain={CHAIN} device_ms_per_batch={ms_per_iter:.2f}',
+              file=sys.stderr)
 
     print(json.dumps({
         'metric': 'synthesized_audio_seconds_per_second',

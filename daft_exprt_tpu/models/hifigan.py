@@ -138,13 +138,21 @@ def _conv_transpose1d(x, w, b, stride, padding):
     return y + b[None, :, None]
 
 
-def _conv_transpose1d_poly(x, w, b, s, p):
+def _conv_transpose1d_poly(x, w, b, s, p, in_tc=False, out_tc=False):
     """Polyphase transposed conv, valid when k - 2p == s.
 
     y[co, q*s + r] = Σ_t Σ_ci w[ci, co, j0(r) + t*s] * x[ci, q + δ(r) - t]
     with j0(r) = (r + p) mod s and δ(r) = (r + p) // s.
+
+    ``in_tc``/``out_tc`` select (B, T, C) time-major layouts. In tc-out
+    form the phase interleave is a plain reshape of the einsum result
+    (time-major ordering already interleaves the s phases) — the ct-out
+    form needs an explicit transpose of the full upsampled tensor.
     """
-    B, C_in, T = x.shape
+    if in_tc:
+        B, T, C_in = x.shape
+    else:
+        B, C_in, T = x.shape
     C_out = w.shape[1]
     k = w.shape[-1]
     n_taps = k // s                                     # taps per phase
@@ -155,12 +163,15 @@ def _conv_transpose1d_poly(x, w, b, s, p):
     # stacked input: rows are x shifted by each needed offset
     # x[q + shift]: left-pad by max(shifts), right-pad by -min(shifts)
     hi, lo = max(shifts), min(shifts)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (-lo if lo < 0 else 0,
-                                      hi if hi > 0 else 0)))
+    t_axis = 1 if in_tc else 2
+    pad = [(0, 0)] * 3
+    pad[t_axis] = (-lo if lo < 0 else 0, hi if hi > 0 else 0)
+    xp = jnp.pad(x, pad)
     off0 = -lo if lo < 0 else 0
     stacked = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(xp, off0 + sh, T, axis=2)
-         for sh in shifts], axis=1)                     # (B, |S|*C_in, T)
+        [jax.lax.dynamic_slice_in_dim(xp, off0 + sh, T, axis=t_axis)
+         for sh in shifts], axis=2 if in_tc else 1)
+    # (B, |S|*C_in, T) ct — or (B, T, |S|*C_in) tc
     # big weight: row block r*C_out..(r+1)*C_out, col block for shift
     shift_col = {sh: i for i, sh in enumerate(shifts)}
     W = jnp.zeros((s * C_out, len(shifts) * C_in), x.dtype)
@@ -171,7 +182,14 @@ def _conv_transpose1d_poly(x, w, b, s, p):
             W = W.at[r * C_out:(r + 1) * C_out,
                      col * C_in:(col + 1) * C_in].set(
                 jnp.swapaxes(w[:, :, j0 + t * s], 0, 1).astype(x.dtype))
-    y = jnp.einsum('oc,bct->bot', W, stacked)           # (B, s*C_out, T)
+    eq = 'oc,btc->bto' if in_tc else 'oc,bct->bto'
+    if out_tc:
+        y = jnp.einsum(eq, W, stacked)                  # (B, T, s*C_out)
+        # y[b, t, r*C_out + co] is output time t*s + r → time-major
+        # flatten interleaves the phases for free
+        y = y.reshape(B, T * s, C_out)
+        return y + b[None, None, :]
+    y = jnp.einsum('oc,btc->bot' if in_tc else 'oc,bct->bot', W, stacked)
     y = y.reshape(B, s, C_out, T)
     y = jnp.transpose(y, (0, 2, 3, 1)).reshape(B, C_out, T * s)
     return y + b[None, :, None]
@@ -246,12 +264,34 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
 
     x = _conv1d(mel, params['conv_pre']['w'], params['conv_pre']['b'])
     cur_p = 1        # current phase depth of x: (B, cur_p*C, T/cur_p)
+    cur_tc = False   # x currently in (B, T, C) time-major layout
     n_ups = len(cfg['upsample_rates'])
     post_done = False
     for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
                                    cfg['upsample_kernel_sizes'])):
         c_out = params[f'ups_{i}']['w'].shape[1]
         want_p = _phase_for(c_out)
+        # wide levels (C >= 128): time-in-sublanes MRF kernel — tap
+        # shifts are sublane offsets (free) vs the ct kernel's VPU lane
+        # rotations; the polyphase upsample emits (B, T, C) directly (the
+        # phase interleave becomes a free reshape). int8 serving keeps
+        # the ct kernel (its int8 form is the measured win at L1).
+        want_tc = (use_pallas and cfg['resblock'] == '1' and not int8
+                   and c_out >= 128 and cur_p == 1
+                   and k - 2 * ((k - u) // 2) == u and u > 1
+                   and os.environ.get('DAFT_MRF_TC', '1') != '0'
+                   and os.environ.get('DAFT_POLY_UPS', '1') != '0')
+        if want_tc:
+            x = _conv_transpose1d_poly(
+                _lrelu(x), params[f'ups_{i}']['w'], params[f'ups_{i}']['b'],
+                u, (k - u) // 2, in_tc=cur_tc, out_tc=True)
+            x = _pallas_mrf_tc(params, x, i, cfg, pallas_tile,
+                               interpret=interpret)
+            cur_tc = True
+            continue
+        if cur_tc:
+            x = jnp.swapaxes(x, 1, 2)               # back to (B, C, T)
+            cur_tc = False
         if chain and want_p >= 2 and want_p == u * cur_p \
                 and k - 2 * ((k - u) // 2) == u:
             # phase-native tail: the polyphase upsample emits phase
@@ -306,6 +346,8 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # tail already applied in the fused epilogue; x is (B, p*1, T/p)
         from daft_exprt_tpu.ops.vocoder_kernels import from_phase
         return from_phase(x, cur_p)
+    if cur_tc:
+        x = jnp.swapaxes(x, 1, 2)                   # back to (B, C, T)
     x = _lrelu(x)
     if cur_p > 1:
         from daft_exprt_tpu.ops.vocoder_kernels import (
@@ -372,6 +414,27 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
     return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                            in_phase=True, out_phase=True, int8_chain=int8,
                            interpret=interpret, **kw), False
+
+
+def _pallas_mrf_tc(params, x_tc, level, cfg, tile, interpret=False):
+    """Wide-level MRF via the time-in-sublanes kernel: tap shifts are
+    sublane offsets instead of VPU lane rotations (the measured ~33%
+    overhead holding L1 at 67% MXU). x_tc: (B, T, C) → (B, T, C)."""
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_tc, pack_mrf_tc_weights)
+    B, T, C = x_tc.shape
+    ks = tuple(cfg['resblock_kernel_sizes'])
+    dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
+    eff_tile = tile
+    while eff_tile * C > (1 << 19) and eff_tile > 512:
+        eff_tile //= 2
+    if T % eff_tile != 0:
+        eff_tile = min(eff_tile, T)
+        while T % eff_tile != 0:
+            eff_tile //= 2
+    weights = pack_mrf_tc_weights(params, level, ks, dils)
+    return fused_mrf_tc(x_tc, weights, ks, dils, tile=eff_tile,
+                        interpret=interpret)
 
 
 def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,

@@ -267,3 +267,40 @@ def test_download_default_checkpoint_gated_and_file_url(tmp_path,
     wav = voc.infer(mel)
     assert wav.shape == (32 * 16,)
     assert np.isfinite(wav).all()
+
+
+def test_generator_tc_route_matches_xla():
+    """A config with a wide (C>=128) level routes through the
+    time-in-sublanes MRF kernel + tc-layout polyphase upsample; the
+    tc→phase handoff (swapaxes into the chain) stays exact vs XLA."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        generator_forward, init_generator_params)
+    cfg = {
+        'sampling_rate': 22050,
+        'upsample_rates': [8, 2],
+        'upsample_kernel_sizes': [16, 4],
+        'upsample_initial_channel': 256,      # level 0: C=128 → tc kernel
+        'resblock': '1',
+        'resblock_kernel_sizes': [3, 7],
+        'resblock_dilation_sizes': [[1, 3], [1, 3]],
+        'model_in_dim': 80,
+    }
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(np.log(rng.rand(2, 80, 128).astype(np.float32)
+                             + 1e-5))
+    ref = np.asarray(generator_forward(params, mel, cfg, use_pallas=False))
+    out = np.asarray(generator_forward(params, mel, cfg, use_pallas=True,
+                                       interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out[:, :, 64:-64] - ref[:, :, 64:-64]).max() < 1e-4
+    # kill switch falls back to the ct kernel and still matches
+    import os as _os
+    _os.environ['DAFT_MRF_TC'] = '0'
+    try:
+        out_ct = np.asarray(generator_forward(
+            params, mel, cfg, use_pallas=True, interpret=True))
+    finally:
+        del _os.environ['DAFT_MRF_TC']
+    assert np.abs(out_ct[:, :, 64:-64] - ref[:, :, 64:-64]).max() < 1e-4
