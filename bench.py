@@ -68,6 +68,11 @@ def main():
     # 16 GB/chip budget (f32 activations are ~0.7 GB/utterance at T=1024).
     voc_dtype = jnp.float32 if parity else jnp.bfloat16
     use_pallas = not parity
+    # Headline path is the int8 quantized serving tier (qualified on
+    # trained weights: waveform rel-L2 0.008, mel-L1 0.008 — PARITY.md).
+    # BENCH_INT8=0 measures the bf16 tier; BENCH_DTYPE=float32 the parity
+    # path.
+    voc_int8 = (not parity) and os.environ.get('BENCH_INT8', '1') != '0'
     VOC_CHUNK = int(os.environ.get('BENCH_VOC_CHUNK',
                                    '8' if parity else str(B)))
     VOC_CHUNK = min(VOC_CHUNK, B)
@@ -80,7 +85,7 @@ def main():
         acc = jnp.float32(0.0)
         for i in range(0, B, VOC_CHUNK):
             wav = generator_forward(vp, mel[i:i + VOC_CHUNK].astype(voc_dtype),
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas, int8=voc_int8)
             acc = acc + jnp.sum(jnp.abs(wav.astype(jnp.float32)))
         # scalar output: fetching it is the only reliable synchronization on
         # the axon platform (block_until_ready returns before execution)
@@ -188,7 +193,10 @@ def main():
         'unit': 'audio-s/s',
         'vs_baseline': round(value, 2),
     }))
-    print(f'# batch={B} frames={T} runs={runs} elapsed={elapsed:.3f}s '
+    mode = ('f32-xla' if parity else
+            ('int8' if voc_int8 else 'bf16') + '-pallas')
+    print(f'# mode={mode} batch={B} frames={T} runs={runs} '
+          f'elapsed={elapsed:.3f}s '
           f'per_run={[round(t, 4) for t in per_run]} '
           f'loop_times={[round(t, 3) for t in loop_times]} '
           f'audio={audio_seconds:.1f}s device={jax.devices()[0]}',

@@ -276,8 +276,10 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # rotations; the polyphase upsample emits (B, T, C) directly (the
         # phase interleave becomes a free reshape). int8 serving keeps
         # the ct kernel (its int8 form is the measured win at L1).
+        _xla_min_c = int(os.environ.get('DAFT_MRF_XLA_MIN_C', '0') or 0)
         want_tc = (use_pallas and cfg['resblock'] == '1' and not int8
                    and c_out >= 128 and cur_p == 1
+                   and not (_xla_min_c and c_out >= _xla_min_c)
                    and k - 2 * ((k - u) // 2) == u and u > 1
                    and os.environ.get('DAFT_MRF_TC', '1') != '0'
                    and os.environ.get('DAFT_POLY_UPS', '1') != '0')
@@ -305,9 +307,14 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
             post = params['conv_post'] if (
                 i == n_ups - 1
                 and os.environ.get('DAFT_FUSE_POST', '1') != '0') else None
+            # the fused-ups prologue needs p_out*C_out == p_in*C_in rows
+            # (true for the V1 family); other configs fall back to the
+            # XLA phase upsample feeding the kernel
+            c_in = params[f'ups_{i}']['w'].shape[0]
             ups = dict(params[f'ups_{i}'], stride=u,
-                       padding=(k - u) // 2, p_in=cur_p) if \
-                os.environ.get('DAFT_FUSE_UPS', '1') != '0' else None
+                       padding=(k - u) // 2, p_in=cur_p) if (
+                os.environ.get('DAFT_FUSE_UPS', '1') != '0'
+                and want_p * c_out == cur_p * c_in) else None
             if ups is None:
                 from daft_exprt_tpu.ops.vocoder_kernels import (
                     conv_transpose1d_phase)
@@ -332,7 +339,13 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         x = _conv_transpose1d(x, params[f'ups_{i}']['w'],
                               params[f'ups_{i}']['b'], stride=u,
                               padding=(k - u) // 2)
-        if use_pallas and cfg['resblock'] == '1':
+        # C=256 standalone measurement (scripts/bench_tc_kernel.py --level
+        # 0, B=8): XLA per-conv 6.94 ms vs ct 8.78 / tc 7.74 — XLA's own
+        # lowering wins at the widest level; DAFT_MRF_XLA_MIN_C routes
+        # such levels to plain XLA resblocks even under use_pallas
+        xla_min_c = int(os.environ.get('DAFT_MRF_XLA_MIN_C', '0') or 0)
+        if use_pallas and cfg['resblock'] == '1' and \
+                not (xla_min_c and c_out >= xla_min_c):
             x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile,
                             int8=int8, interpret=interpret)
         else:
@@ -564,11 +577,18 @@ class HiFiGanVocoder:
     """Frozen inference wrapper mirroring the reference API
     (reference: src/daft_exprt/vocoder/hifigan.py:187-226).
 
-    ``fast=True`` selects the throughput path benched by bench.py — bf16
-    activations through the fused Pallas MRF kernels and the phase-native
-    tail chain (~2.3x the exact XLA f32 path on a v5e chip). Interior
-    samples match the exact path to bf16 precision; the default stays the
-    parity-exact f32 XLA path. Also on via DAFT_FAST_VOCODER=1.
+    Serving tiers (measured on a v5e chip, error vs the f32 XLA path on
+    trained weights — PARITY.md "int8 vocoder serving mode"):
+
+    - ``fast=False`` (default): parity-exact f32 XLA path.
+    - ``fast=True`` / ``'bf16'``: bf16 activations through the fused
+      Pallas MRF kernels + phase-native tail chain (~2.2x f32; waveform
+      rel-L2 0.002).
+    - ``fast='int8'``: additionally quantizes the resblock matmuls to
+      int8 (~2.7x f32, the bench.py headline path; waveform rel-L2
+      0.008, mel-L1 0.008).
+
+    Also via DAFT_FAST_VOCODER=1|bf16|int8.
     """
 
     def __init__(self, params=None, config=None, checkpoint_path=None,
@@ -583,7 +603,9 @@ class HiFiGanVocoder:
             params = load_torch_generator(checkpoint_path, self.config)
         self.params = params
         if fast is None:
-            fast = os.environ.get('DAFT_FAST_VOCODER', '0') == '1'
+            env = os.environ.get('DAFT_FAST_VOCODER', '0')
+            fast = env if env in ('int8', 'bf16') else env == '1'
+        int8 = fast == 'int8'
         self.fast = bool(fast)
         if self.fast:
             # Mosaic kernels only lower for TPU — interpret everywhere
@@ -596,7 +618,7 @@ class HiFiGanVocoder:
                     lambda x: x.astype(jnp.bfloat16), p)
                 wav = generator_forward(p16, m.astype(jnp.bfloat16),
                                         self.config, use_pallas=True,
-                                        interpret=interp)
+                                        int8=int8, interpret=interp)
                 return wav.astype(jnp.float32)
             self._infer = jax.jit(run)
         else:

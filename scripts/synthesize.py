@@ -370,7 +370,9 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
         # auto-download path (reference: vocoder/hifigan.py:43-68), gated
         # behind DAFT_ALLOW_DOWNLOAD with a clean offline error
         vocoder = load_hifigan_vocoder(args.vocoder_checkpoint or None,
-                                       fast=args.fast_vocoder or None)
+                                       fast='int8' if getattr(
+                                           args, 'int8_vocoder', False)
+                                       else (args.fast_vocoder or None))
 
     synthesizer = Synthesizer(model, params, hparams, vocoder=vocoder)
 
@@ -455,9 +457,13 @@ if __name__ == '__main__':
     parser.add_argument('--config_overrides', type=str, default='')
     parser.add_argument('--use_griffin_lim', action='store_true')
     parser.add_argument('--fast_vocoder', action='store_true',
-                        help='bf16 + fused-Pallas vocoder path (~2.3x the '
+                        help='bf16 + fused-Pallas vocoder path (~2.2x the '
                              'exact f32 path on TPU; interior samples '
                              'match to bf16 precision)')
+    parser.add_argument('--int8_vocoder', action='store_true',
+                        help='int8 quantized serving path (~2.7x f32; '
+                             'waveform rel-L2 ~0.008 on trained weights '
+                             '— see PARITY.md)')
     parser.add_argument('--vocoder_checkpoint', type=str, default='')
     parser.add_argument('--reduce_buzz', action='store_true')
     parser.add_argument('-bs', '--batch_size', type=int, default=50)

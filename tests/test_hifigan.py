@@ -304,3 +304,28 @@ def test_generator_tc_route_matches_xla():
     finally:
         del _os.environ['DAFT_MRF_TC']
     assert np.abs(out_ct[:, :, 64:-64] - ref[:, :, 64:-64]).max() < 1e-4
+
+
+def test_vocoder_int8_tier(monkeypatch):
+    """fast='int8' wrapper tier runs the quantized chain (interpret on
+    CPU) and stays within the serving-quality band of the exact path."""
+    import jax
+    from daft_exprt_tpu.models.hifigan import init_generator_params
+    params = init_generator_params(jax.random.PRNGKey(0), SMALL_CONFIG)
+    mel = np.log(np.random.RandomState(0)
+                 .rand(80, 64).astype(np.float32) + 1e-5)
+    exact = HiFiGanVocoder(params=params, config=SMALL_CONFIG,
+                           fast=False).infer(mel)
+    q8 = HiFiGanVocoder(params=params, config=SMALL_CONFIG,
+                        fast='int8').infer(mel)
+    assert q8.shape == exact.shape
+    interior = slice(64, -64)
+    rel = np.linalg.norm(q8[interior] - exact[interior]) \
+        / (np.linalg.norm(exact[interior]) + 1e-12)
+    assert rel < 0.25, rel
+    # env spelling selects the same tier
+    monkeypatch.setenv('DAFT_FAST_VOCODER', 'int8')
+    voc = HiFiGanVocoder(params=params, config=SMALL_CONFIG)
+    assert voc.fast
+    q8b = voc.infer(mel)
+    assert np.allclose(q8b, q8)
