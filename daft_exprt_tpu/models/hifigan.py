@@ -221,7 +221,7 @@ def _resblock2(params, x, dilations):
 
 def generator_forward(params: Dict[str, Any], mel, config=None,
                       use_pallas=False, pallas_tile=8192, int8=None,
-                      interpret=False):
+                      int8_act_scales=None, interpret=False):
     """mel: (B, n_mels, T) → wav (B, 1, T * prod(upsample_rates)).
 
     ``use_pallas=True`` routes each ResBlock1 group through the fused
@@ -326,10 +326,11 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
             # int8 sublane slices land on 32-granules only when C % 32 == 0
             # (true for every real V1 level; synthetic narrower configs
             # fall back to the bf16 kernels)
-            x, post_done = _pallas_mrf_phase(params, x, i, cfg, cur_p,
-                                             post=post, ups=ups,
-                                             int8=int8 and c_out % 32 == 0,
-                                             interpret=interpret)
+            x, post_done = _pallas_mrf_phase(
+                params, x, i, cfg, cur_p, post=post, ups=ups,
+                int8=int8 and c_out % 32 == 0,
+                act_scales=(int8_act_scales or {}).get(i),
+                interpret=interpret)
             continue
         x = _lrelu(x)
         if cur_p > 1:
@@ -347,7 +348,9 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         if use_pallas and cfg['resblock'] == '1' and \
                 not (xla_min_c and c_out >= xla_min_c):
             x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile,
-                            int8=int8, interpret=interpret)
+                            int8=int8,
+                            act_scales=(int8_act_scales or {}).get(i),
+                            interpret=interpret)
         else:
             xs = None
             for j, dil in enumerate(cfg['resblock_dilation_sizes']):
@@ -381,7 +384,7 @@ def _phase_for(c):
 
 
 def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
-                      int8=False, interpret=False):
+                      int8=False, act_scales=None, interpret=False):
     """Fused phase-native MRF: x_p (B, p*C, Q) in, same layout out.
 
     ``post``: the conv_post params dict — when given AND the chain halo
@@ -408,9 +411,14 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
                                          ups['p_in'])
         x = from_phase(x_p, p)
         return to_phase(_pallas_mrf(params, x, level, cfg, len(ks), 8192,
-                                    int8=int8, interpret=interpret),
+                                    int8=int8, act_scales=act_scales,
+                                    interpret=interpret),
                         p), False
     weights = pack_mrf_phase_weights(params, level, ks, dils, p)
+    ph_scales = None
+    if int8 and act_scales is not None:
+        ph_scales = [s[i] for s1, s2 in act_scales
+                     for i in range(s1.shape[0]) for s in (s1, s2)]
     kw = {}
     if ups is not None:
         wb, bu, ups_w, ups_dmin = pack_ups_phase_weights(
@@ -422,11 +430,63 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
         return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                                in_phase=True, out_phase=True,
                                post_weights=post_weights, post_k=post_k,
-                               int8_chain=int8,
+                               int8_chain=int8, act_scales=ph_scales,
                                interpret=interpret, **kw), True
     return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                            in_phase=True, out_phase=True, int8_chain=int8,
+                           act_scales=ph_scales,
                            interpret=interpret, **kw), False
+
+
+def calibrate_act_scales(params, mels, config=None):
+    """Per-channel amax of every resblock conv input (post-lrelu) from the
+    XLA reference forward on calibration mels — the statistics behind the
+    int8 kernels' STATIC activation scales (folded into the banded weight
+    columns at pack time; unlike per-time scales they commute with the
+    banded time shifts).
+
+    Returns {level: [(s1, s2), ...] per resblock} with s1/s2 shaped
+    (n_dil, C): s1 = conv1 inputs (the residual stream), s2 = conv2
+    inputs (conv1 outputs).
+    """
+    cfg = config or DEFAULT_CONFIG
+    if cfg['resblock'] != '1':
+        raise ValueError('static act-scale calibration targets the '
+                         'ResBlock1 fused kernels')
+    mels = jnp.asarray(mels, jnp.float32)
+    if mels.ndim == 2:
+        mels = mels[None]
+    x = _conv1d(mels, params['conv_pre']['w'], params['conv_pre']['b'])
+    scales = {}
+
+    def amax_c(t):
+        return jnp.max(jnp.abs(t), axis=(0, 2))            # (C,)
+
+    for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
+                                   cfg['upsample_kernel_sizes'])):
+        x = _conv_transpose1d(_lrelu(x), params[f'ups_{i}']['w'],
+                              params[f'ups_{i}']['b'], stride=u,
+                              padding=(k - u) // 2)
+        xs = None
+        level = []
+        for j, dils in enumerate(cfg['resblock_dilation_sizes']):
+            rb = params[f'resblock_{i}_{j}']
+            cur = x
+            s1, s2 = [], []
+            for ii, d in enumerate(dils):
+                t1 = _lrelu(cur)
+                s1.append(amax_c(t1))
+                a = _conv1d(t1, rb[f'convs1_{ii}']['w'],
+                            rb[f'convs1_{ii}']['b'], dilation=d)
+                t2 = _lrelu(a)
+                s2.append(amax_c(t2))
+                cur = cur + _conv1d(t2, rb[f'convs2_{ii}']['w'],
+                                    rb[f'convs2_{ii}']['b'])
+            level.append((jnp.stack(s1), jnp.stack(s2)))
+            xs = cur if xs is None else xs + cur
+        x = xs / len(cfg['resblock_kernel_sizes'])
+        scales[i] = level
+    return jax.tree_util.tree_map(np.asarray, scales)
 
 
 def _pallas_mrf_tc(params, x_tc, level, cfg, tile, interpret=False):
@@ -451,10 +511,13 @@ def _pallas_mrf_tc(params, x_tc, level, cfg, tile, interpret=False):
 
 
 def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
-                interpret=False):
+                act_scales=None, interpret=False):
     """Multi-receptive-field fusion of one upsample level's resblocks via
     the fused channels-in-sublanes Pallas kernel: all ``num_kernels``
-    resblocks computed in one HBM round trip. x: (B, C, T) → (B, C, T)."""
+    resblocks computed in one HBM round trip. x: (B, C, T) → (B, C, T).
+    ``act_scales``: this level's [(s1, s2) per block] calibration entry
+    (see calibrate_act_scales) — switches the int8 path to static
+    per-channel activation scales."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
         fused_mrf_ct, fused_mrf_phase, pack_mrf_phase_weights,
         pack_mrf_weights)
@@ -462,6 +525,8 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
     int8 = int8 and C % 32 == 0      # int8 sublane slicing granularity
+    if not int8:
+        act_scales = None
     # narrowest levels (C*4 <= 128): phase-major banded kernel — folds 4
     # time phases into channels so every conv matmul fills all 128 MXU
     # rows (1.75x the M=C-bound matmul floor on the V1 conv mix)
@@ -473,8 +538,15 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
             eff //= 2
         if T % (p * eff) == 0:
             weights = pack_mrf_phase_weights(params, level, ks, dils, p)
+            ph_scales = None
+            if act_scales is not None:
+                # phase pack order: per (block, dil): conv1, conv2
+                ph_scales = [s[i] for s1, s2 in act_scales
+                             for i in range(s1.shape[0])
+                             for s in (s1, s2)]
             return fused_mrf_phase(x, weights, ks, dils, p, tile=eff,
-                                   int8_chain=int8, interpret=interpret)
+                                   int8_chain=int8, act_scales=ph_scales,
+                                   interpret=interpret)
     # scale the time tile with channel width so the in-kernel chain
     # (several live (C, tile) f32 intermediates + the packed weights)
     # fits VMEM; tile*C ≈ 512K elements ≈ 2 MB per live buffer
@@ -491,9 +563,13 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
     merge = C <= 64 and not int8 and \
         os.environ.get('DAFT_MRF_MERGE', '1') != '0'
     weights = pack_mrf_weights(params, level, ks, dils, merge_taps=merge)
+    ct_scales = None
+    if act_scales is not None:
+        # ct pack order: per block: conv1-stack, conv2-stack (n_dil, C)
+        ct_scales = [s for s1, s2 in act_scales for s in (s1, s2)]
     return fused_mrf_ct(x, weights, ks, dils, tile=eff_tile,
                         merge_taps=merge, int8_chain=int8,
-                        interpret=interpret)
+                        act_scales=ct_scales, interpret=interpret)
 
 
 def init_generator_params(rng, config=None, std=0.01):

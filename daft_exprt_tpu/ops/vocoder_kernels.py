@@ -62,6 +62,39 @@ def _quantize_dynamic(x):
     return q, amax * (1.0 / 127.0)
 
 
+def _quantize_static(x, inv_s):
+    """Per-channel STATIC int8 quantization: ``inv_s`` (rows, 1) is
+    127/amax from offline calibration — no per-tile amax reduce, and
+    unlike per-time-column scales the per-row scale commutes with the
+    banded time shifts (it is folded into the weight columns at pack
+    time). Out-of-calibration values saturate at ±127."""
+    return jnp.clip(jnp.round(x * inv_s), -127.0, 127.0).astype(jnp.int8)
+
+
+def fold_act_scales_taps(w, s_in, margin=1.1):
+    """Fold per-channel act scales into per-tap weights (n_dil, k, C_out,
+    C_in) before row quantization: W'[..., ci] = W[..., ci] * s[ci].
+    ``s_in``: (n_dil, C_in) calibrated amax; returns (w_folded, inv_s)
+    with inv_s (n_dil, C_in, 1) the kernel-side activation multiplier."""
+    s = jnp.maximum(s_in.astype(jnp.float32), 1e-30) * margin / 127.0
+    w_f = w.astype(jnp.float32) * s[:, None, None, :]
+    inv_s = (1.0 / s)[:, :, None]
+    return w_f, inv_s
+
+
+def fold_act_scales_band(wd, s_in, C, p, margin=1.1):
+    """Fold per-channel act scales into a banded phase matrix
+    (p*C_out, kcols*C_in): every column block is channel-contiguous and
+    the per-row-block shifts are multiples of C_in, so column col always
+    reads channel col % C_in — the per-channel scale tiles cleanly.
+    Returns (wd_folded, inv_s (p*C_in, 1))."""
+    s = jnp.maximum(s_in.astype(jnp.float32), 1e-30) * margin / 127.0
+    kcols = wd.shape[1] // C
+    wd_f = wd.astype(jnp.float32) * jnp.tile(s, kcols)[None, :]
+    inv_s = jnp.tile(1.0 / s, p)[:, None]
+    return wd_f, inv_s
+
+
 def resblock1_halo(kernel_size: int, dilations: Sequence[int]) -> int:
     """Per-side receptive-field growth of the full chain, rounded up to the
     8-sublane granule so every DMA stays aligned."""
@@ -198,17 +231,20 @@ def _ct_conv(t_in, w_ref, b_ref, i, k, d, L_out, merged, stack_ref=None):
 def _ct_conv_q8(q, s_x, wq_ref, sw_ref, b_ref, i, k, d, L_out):
     """int8 variant of :func:`_ct_conv` (unmerged): per-tap s8 x s8 -> s32
     dots against lane-shifted slices of the pre-quantized activation,
-    accumulated in int32, dequantized once with (row_scale * act_scale)."""
+    accumulated in int32, dequantized once with (row_scale * act_scale).
+    ``s_x=None`` = static act scales (already folded into the weights at
+    pack time): dequantize with the row scale alone."""
     acc = None
     for tap in range(k):
         seg = q[:, tap * d: tap * d + L_out]       # static int8 lane slice
         c = jnp.dot(wq_ref[i, tap], seg, preferred_element_type=jnp.int32)
         acc = c if acc is None else acc + c
-    return acc.astype(jnp.float32) * (sw_ref[i] * s_x) + b_ref[i]
+    scale = sw_ref[i] if s_x is None else sw_ref[i] * s_x
+    return acc.astype(jnp.float32) * scale + b_ref[i]
 
 
 def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
-                         q8=False):
+                         q8=False, q8s=False):
     """Multi-receptive-field fusion, channels-in-sublanes layout.
 
     refs = [w1_0, b1_0, w2_0, b2_0, ..., w1_{nb-1}, ..., o_ref, x_scratch,
@@ -216,8 +252,10 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
     Computes (Σ_blocks resblock1_b(x)) / nb over one time tile, keeping the
     whole chain in VMEM. Weights w: (n_dil, k, C_out, C_in) — or
     (n_dil, C_out, k*C_in) when ``merge`` — biases b: (n_dil, C, 1).
+    ``q8s``: static per-channel act scales — refs per block are
+    [w1q, sw1, inv1, b1, w2q, sw2, inv2, b2].
     """
-    stride = 6 if q8 else 4
+    stride = 8 if q8s else (6 if q8 else 4)
     o_ref = refs[stride * nb]
     x_scratch = refs[stride * nb + 1]
     sem = refs[stride * nb + 2]
@@ -243,7 +281,14 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
             h1 = d * half
             L1 = cur_len - 2 * h1
             L2 = L1 - 2 * half
-            if q8:
+            if q8s:
+                w1q, sw1, inv1, b1_ref, w2q, sw2, inv2, b2_ref = \
+                    refs[8 * blk: 8 * blk + 8]
+                q = _quantize_static(_lrelu(cur), inv1[i])
+                acc = _ct_conv_q8(q, None, w1q, sw1, b1_ref, i, k, d, L1)
+                q2 = _quantize_static(_lrelu(acc), inv2[i])
+                acc2 = _ct_conv_q8(q2, None, w2q, sw2, b2_ref, i, k, 1, L2)
+            elif q8:
                 w1q, sw1, b1_ref, w2q, sw2, b2_ref = \
                     refs[6 * blk: 6 * blk + 6]
                 q, s_x = _quantize_dynamic(_lrelu(cur))
@@ -271,7 +316,8 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
                                              'tile', 'merge_taps',
                                              'int8_chain', 'interpret'))
 def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
-                 merge_taps=False, int8_chain=False, interpret=False):
+                 merge_taps=False, int8_chain=False, act_scales=None,
+                 interpret=False):
     """Fused multi-receptive-field resblock group, (B, C, T) layout.
 
     x: (B, C, T) — the natural conv layout (time in lanes), so no
@@ -299,20 +345,28 @@ def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
     n_tiles = T // tile
     x_padded = jnp.pad(x, ((0, 0), (0, 0), (halo, halo)))
 
+    q8s = int8_chain and act_scales is not None
     if int8_chain:
         qw = []
         for i in range(0, len(weights), 2):
             w, b = weights[i], weights[i + 1]
             n_dil, _, c_out, _ = w.shape
+            if q8s:
+                # act_scales: per conv, (n_dil, C_in) calibrated amax in
+                # pack order — fold into the weight columns, quantize
+                # rows, and hand the kernel the static 127/amax rows
+                w, inv_s = fold_act_scales_taps(w, act_scales[i // 2])
             wq, sw = quantize_rows(w, row_axes=(0, 2))
-            qw += [wq, sw.reshape(n_dil, c_out, 1),
-                   b.astype(jnp.float32)]
+            qw += [wq, sw.reshape(n_dil, c_out, 1)]
+            if q8s:
+                qw.append(inv_s)
+            qw.append(b.astype(jnp.float32))
         weights = qw
 
     kernel = functools.partial(
         _fused_mrf_ct_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        nb=nb, merge=merge_taps, q8=int8_chain)
+        nb=nb, merge=merge_taps, q8=int8_chain and not q8s, q8s=q8s)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -685,24 +739,31 @@ def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
 
 
 def _phase_conv_q8(t_in, wd_ref, sw_ref, b_ref, spec, C, p, L_out,
-                   stack8_ref):
+                   stack8_ref, inv_s_ref=None):
     """int8 variant of :func:`_phase_conv`: quantize the f32 activation
-    tile once (per-tile scale), stage the W lane shifts as int8, one
-    s8 x s8 -> s32 banded matmul, dequantize with (row_scale * act_scale)
-    and add the bias in f32."""
+    tile (per-tile dynamic scale, or static per-channel rows via
+    ``inv_s_ref`` with the scales pre-folded into the weight columns),
+    stage the W lane shifts as int8, one s8 x s8 -> s32 banded matmul,
+    dequantize with the row scale (× act scale when dynamic) and add the
+    bias in f32."""
     pc = p * C
-    q, s_x = _quantize_dynamic(t_in)
+    if inv_s_ref is None:
+        q, s_x = _quantize_dynamic(t_in)
+        scale = sw_ref[:] * s_x
+    else:
+        q = _quantize_static(t_in, inv_s_ref[:])
+        scale = sw_ref[:]
     for u in range(spec['W']):
         stack8_ref[u * pc:(u + 1) * pc, 0:L_out] = q[:, u:u + L_out]
     row0 = spec['j0'] * C
     operand = stack8_ref[row0:row0 + spec['kcols'] * C, 0:L_out]
     acc = jnp.dot(wd_ref[:], operand, preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (sw_ref[:] * s_x) + b_ref[:]
+    return acc.astype(jnp.float32) * scale + b_ref[:]
 
 
 def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                             post_k=0, ups_w=0, ups_base=0, halo_in=0,
-                            q8=False):
+                            q8=False, q8s=False):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
     HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
     [+ Wd_post, b_post when post_k] [+ Wb_ups, b_ups when ups_w] +
@@ -720,7 +781,7 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
     (p*C, ups_w * p_in*C_in) matmul over ``ups_w`` staged shifts — the
     XLA phase upsamples cost ~52 ms each at B=128 and an extra HBM round
     trip; here they ride the tile already in VMEM."""
-    n_w = (6 if q8 else 4) * sum(len(d) for d in dils)
+    n_w = (8 if q8s else (6 if q8 else 4)) * sum(len(d) for d in dils)
     n_post = 2 if post_k else 0
     n_ups = (3 if q8 else 2) if ups_w else 0
     o_ref = refs[n_w + n_post + n_ups]
@@ -786,7 +847,15 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
             s2 = _phase_conv_spec(k, 1, p)
             L1 = cur_len - (s1['W'] - 1)
             L2 = L1 - (s2['W'] - 1)
-            if q8:
+            if q8s:
+                (wd1, sw1, inv1, b1,
+                 wd2, sw2, inv2, b2) = refs[ref_idx:ref_idx + 8]
+                ref_idx += 8
+                a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C, p,
+                                    L1, stack8_ref, inv_s_ref=inv1)
+                a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C, p,
+                                    L2, stack8_ref, inv_s_ref=inv2)
+            elif q8:
                 wd1, sw1, b1, wd2, sw2, b2 = refs[ref_idx:ref_idx + 6]
                 ref_idx += 6
                 a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C, p,
@@ -825,7 +894,7 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                     in_phase=False, out_phase=False, post_weights=None,
                     post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
-                    int8_chain=False, interpret=False):
+                    int8_chain=False, act_scales=None, interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -873,11 +942,19 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                 for k, ds in zip(kernel_sizes, dilations) for d in ds)
     chain_max_w = max_w
 
+    q8s = int8_chain and act_scales is not None
     if int8_chain:
         qw = []
         for i in range(0, len(weights), 2):
-            wq, sw = quantize_rows(weights[i])
-            qw += [wq, sw, weights[i + 1].astype(jnp.float32)]
+            wd = weights[i]
+            if q8s:
+                wd, inv_s = fold_act_scales_band(wd, act_scales[i // 2],
+                                                 C, p)
+            wq, sw = quantize_rows(wd)
+            qw += [wq, sw]
+            if q8s:
+                qw.append(inv_s)
+            qw.append(weights[i + 1].astype(jnp.float32))
         weights = qw
 
     if post_k:
@@ -919,7 +996,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         _fused_mrf_phase_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         nb=nb, p=p, C=C, post_k=post_k, ups_w=ups_w, ups_base=ups_base,
-        halo_in=halo_in, q8=int8_chain)
+        halo_in=halo_in, q8=int8_chain, q8s=q8s)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:

@@ -111,9 +111,12 @@ def train_generator(steps, batch, seed=0, log_every=50):
 # evaluation
 # ----------------------------------------------------------------------
 
-def chain_outputs(params, mel, act_scales=None):
-    """Returns dict name → wav for f32-XLA / bf16-pallas / int8-pallas."""
-    from daft_exprt_tpu.models.hifigan import generator_forward
+def chain_outputs(params, mel, cal_mel=None, skip_bf16=False):
+    """Returns dict name → wav for f32-XLA / bf16-pallas / int8-pallas
+    (+ int8-static when ``cal_mel`` provides a calibration batch for the
+    per-channel static activation scales)."""
+    from daft_exprt_tpu.models.hifigan import (
+        calibrate_act_scales, generator_forward)
 
     outs = {}
 
@@ -122,16 +125,25 @@ def chain_outputs(params, mel, act_scales=None):
 
     p16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     m16 = mel.astype(jnp.bfloat16)
-    bf16 = jax.jit(lambda p, m: generator_forward(
-        p, m, use_pallas=True, int8=False))
-    print('  compiling bf16 pallas chain...', flush=True)
-    outs['bf16_pallas'] = np.asarray(
-        bf16(p16, m16)).astype(np.float64)
+    if not skip_bf16:
+        bf16 = jax.jit(lambda p, m: generator_forward(
+            p, m, use_pallas=True, int8=False))
+        print('  compiling bf16 pallas chain...', flush=True)
+        outs['bf16_pallas'] = np.asarray(
+            bf16(p16, m16)).astype(np.float64)
 
     q8 = jax.jit(lambda p, m: generator_forward(
         p, m, use_pallas=True, int8=True))
     print('  compiling int8 pallas chain...', flush=True)
     outs['int8_pallas'] = np.asarray(q8(p16, m16)).astype(np.float64)
+
+    if cal_mel is not None:
+        scales = calibrate_act_scales(params, cal_mel)
+        q8s = jax.jit(lambda p, m, s: generator_forward(
+            p, m, use_pallas=True, int8=True, int8_act_scales=s))
+        print('  compiling int8-static pallas chain...', flush=True)
+        outs['int8_static_pallas'] = np.asarray(
+            q8s(p16, m16, scales)).astype(np.float64)
     return outs
 
 
@@ -171,6 +183,7 @@ def main():
                     help='reuse saved trained weights (skip the GAN train)')
     ap.add_argument('--out', type=str, default='/tmp/int8_qual')
     ap.add_argument('--skip_random', action='store_true')
+    ap.add_argument('--skip_bf16', action='store_true')
     args = ap.parse_args()
 
     from daft_exprt_tpu.models.hifigan import init_generator_params
@@ -181,11 +194,15 @@ def main():
     loss_mel_fn = jax.jit(make_loss_mel_fn())
     print('device:', jax.devices()[0], flush=True)
 
-    # held-out eval mels from fresh synthetic audio
+    # held-out eval mels from fresh synthetic audio; a disjoint
+    # calibration batch feeds the static act scales
     rng = np.random.RandomState(1234)
     seg = args.eval_frames * 256
     y_eval = jnp.asarray(build_corpus(rng, args.eval_batch, seg))
-    mel_eval = jax.jit(lambda y: make_loss_mel_fn()(y[:, 0, :]))(y_eval)
+    mel_fn = jax.jit(lambda y: make_loss_mel_fn()(y[:, 0, :]))
+    mel_eval = mel_fn(y_eval)
+    y_cal = jnp.asarray(build_corpus(rng, args.eval_batch, seg))
+    mel_cal = mel_fn(y_cal)
     print('eval mel', mel_eval.shape, flush=True)
 
     results = {}
@@ -212,7 +229,8 @@ def main():
         print(f'weights saved to {args.out}/weights.npz', flush=True)
 
     print('=== trained weights ===', flush=True)
-    outs = chain_outputs(params, mel_eval)
+    outs = chain_outputs(params, mel_eval, cal_mel=mel_cal,
+                         skip_bf16=args.skip_bf16)
     results['trained'] = report(outs, loss_mel_fn)
 
     with open(os.path.join(args.out, 'report.json'), 'w') as f:

@@ -410,3 +410,49 @@ def test_pack_mrf_tc_weights_matches_manual():
     y_tc = np.asarray(fused_mrf_tc(jnp.swapaxes(x_ct, 1, 2), w_tc, ks,
                                    dils, tile=256, interpret=True))
     assert np.abs(np.swapaxes(y_tc, 1, 2) - y_ct).max() < 1e-5
+
+
+def test_int8_static_act_scales_phase_and_ct():
+    """Static per-channel activation scales (calibrated, folded into the
+    banded weight columns) track the dynamic-scale int8 path on both the
+    phase kernels (narrow levels) and the ct kernel (wide levels)."""
+    import jax
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        calibrate_act_scales, generator_forward, init_generator_params)
+
+    rng = np.random.RandomState(7)
+    for cfg in (
+        {'sampling_rate': 22050, 'upsample_rates': [2, 2],
+         'upsample_kernel_sizes': [4, 4], 'upsample_initial_channel': 128,
+         'resblock': '1', 'resblock_kernel_sizes': [3, 7],
+         'resblock_dilation_sizes': [[1, 3], [1, 3]],
+         'model_in_dim': 80},                      # phase levels (64/32)
+        {'sampling_rate': 22050, 'upsample_rates': [2],
+         'upsample_kernel_sizes': [4], 'upsample_initial_channel': 256,
+         'resblock': '1', 'resblock_kernel_sizes': [3],
+         'resblock_dilation_sizes': [[1, 3]],
+         'model_in_dim': 80},                      # ct level (C=128)
+    ):
+        params = init_generator_params(jax.random.PRNGKey(0), cfg)
+        mel_cal = jnp.asarray(np.log(
+            rng.rand(2, 80, 128).astype(np.float32) + 1e-5))
+        mel = jnp.asarray(np.log(
+            rng.rand(2, 80, 128).astype(np.float32) + 1e-5))
+        ref = np.asarray(generator_forward(params, mel, cfg,
+                                           use_pallas=False))
+        scales = calibrate_act_scales(params, mel_cal, cfg)
+        dyn = np.asarray(generator_forward(
+            params, mel, cfg, use_pallas=True, int8=True, interpret=True))
+        stat = np.asarray(generator_forward(
+            params, mel, cfg, use_pallas=True, int8=True,
+            int8_act_scales=scales, interpret=True))
+        cut = 64
+        sl = (slice(None), slice(None), slice(cut, -cut))
+        r = ref[sl]
+        rel_dyn = np.linalg.norm(dyn[sl] - r) / np.linalg.norm(r)
+        rel_stat = np.linalg.norm(stat[sl] - r) / np.linalg.norm(r)
+        assert np.isfinite(stat).all()
+        # static calibration should be in the same error band as dynamic
+        # (usually better: per-channel beats per-tile)
+        assert rel_stat < max(2.0 * rel_dyn, 0.05), (rel_stat, rel_dyn)
