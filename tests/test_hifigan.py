@@ -329,3 +329,27 @@ def test_vocoder_int8_tier(monkeypatch):
     assert voc.fast
     q8b = voc.infer(mel)
     assert np.allclose(q8b, q8)
+
+
+def test_vocoder_int8_static_calibration():
+    """int8 tier with calibration mels routes through static act scales
+    and stays close to the dynamic tier."""
+    import jax
+    from daft_exprt_tpu.models.hifigan import init_generator_params
+    cfg = {
+        'sampling_rate': 22050, 'upsample_rates': [2, 2],
+        'upsample_kernel_sizes': [4, 4], 'upsample_initial_channel': 128,
+        'resblock': '1', 'resblock_kernel_sizes': [3, 7],
+        'resblock_dilation_sizes': [[1, 3], [1, 3]], 'model_in_dim': 80}
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    mel = np.log(rng.rand(80, 128).astype(np.float32) + 1e-5)
+    cal = np.log(rng.rand(2, 80, 128).astype(np.float32) + 1e-5)
+    exact = HiFiGanVocoder(params=params, config=cfg, fast=False).infer(mel)
+    stat = HiFiGanVocoder(params=params, config=cfg, fast='int8',
+                          int8_calibration_mels=cal).infer(mel)
+    assert stat.shape == exact.shape
+    sl = slice(64, -64)
+    rel = np.linalg.norm(stat[sl] - exact[sl]) \
+        / (np.linalg.norm(exact[sl]) + 1e-12)
+    assert rel < 0.1, rel
