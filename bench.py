@@ -80,7 +80,8 @@ def main():
     voc_scales = None
     if voc_int8 and os.environ.get('BENCH_INT8_STATIC', '1') == '1':
         from daft_exprt_tpu.models.hifigan import calibrate_act_scales
-        mel_cal = jax.jit(acoustic)(params, batch)[:4]
+        cal_batch = {k: v[:4] for k, v in batch.items()}
+        mel_cal = jax.jit(acoustic)(params, cal_batch)
         voc_scales = calibrate_act_scales(voc_params, mel_cal)
     VOC_CHUNK = int(os.environ.get('BENCH_VOC_CHUNK',
                                    '8' if parity else str(B)))
@@ -116,11 +117,10 @@ def main():
     # batches; the plain B=1 wall-clock RTF is tunnel-dominated and
     # varies 4x between sessions for identical code (CLAUDE.md).
     CHAIN = int(os.environ.get('BENCH_CHAIN', '0'))
-    if CHAIN:
-        inner = pipeline.__wrapped__      # un-jitted pipeline body
 
+    def chain_wrap(inner):
         @jax.jit
-        def pipeline(params, voc_params, b):
+        def chained(params, voc_params, b):
             def body(carry, _):
                 bb = dict(b)
                 bb['spk_embs'] = b['spk_embs'] + carry * np.float32(1e-9)
@@ -128,7 +128,12 @@ def main():
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                   length=CHAIN)
             return acc
+        return chained
 
+    if CHAIN:
+        pipeline = chain_wrap(pipeline.__wrapped__)
+
+    fell_back = False
     # warmup / compile (fetch forces completion). If any Pallas path fails
     # to compile on this worker (tunnel flake), fall back to the XLA bf16
     # paths (vocoder AND attention) rather than recording nothing.
@@ -140,10 +145,12 @@ def main():
         print(f'# pallas path failed ({type(exc).__name__}), '
               f'falling back to XLA', file=sys.stderr)
         use_pallas = False
+        voc_int8 = False          # the XLA path serves full precision —
+                                  # keep the recorded mode truthful
+        fell_back = True
         _, model_xla = _full_size_model(fused_attention=False)
 
-        @jax.jit
-        def pipeline(params, voc_params, b):
+        def fallback_body(params, voc_params, b):
             mel = acoustic(params, b, m=model_xla)
             vp = jax.tree_util.tree_map(lambda x: x.astype(voc_dtype),
                                         voc_params)
@@ -155,6 +162,10 @@ def main():
                 acc = acc + jnp.sum(jnp.abs(wav.astype(jnp.float32)))
             return acc
 
+        # the chained device-time mode must survive the fallback too —
+        # audio_seconds scales by CHAIN below
+        pipeline = chain_wrap(fallback_body) if CHAIN \
+            else jax.jit(fallback_body)
         float(pipeline(params, voc_params, batch))
 
     runs = 5
@@ -204,6 +215,7 @@ def main():
         'vs_baseline': round(value, 2),
     }))
     mode = ('f32-xla' if parity else
+            'bf16-xla-fallback' if fell_back else
             ('int8' if voc_int8 else 'bf16') + '-pallas')
     print(f'# mode={mode} batch={B} frames={T} runs={runs} '
           f'elapsed={elapsed:.3f}s '

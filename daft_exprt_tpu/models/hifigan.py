@@ -45,9 +45,10 @@ def download_default_checkpoint(cache_dir=None, url=None):
     Network access is opt-in: set ``DAFT_ALLOW_DOWNLOAD=1`` (this build
     targets offline/zero-egress environments, so accidental egress is an
     error, not a fallback). ``DAFT_HIFIGAN_URL`` overrides the source URL
-    and accepts ``file://`` URLs (used by the tests). Tries
-    huggingface_hub first when available, then plain HTTP(S) — mirroring
-    the reference's two-stage fallback. Returns the cached local path."""
+    (bypassing the HF-hub default entirely) and accepts ``file://`` URLs
+    (used by the tests). With the default source, tries huggingface_hub
+    first when available, then plain HTTP(S) — mirroring the reference's
+    two-stage fallback. Returns the cached local path."""
     import shutil
     import urllib.request
 
@@ -65,7 +66,9 @@ def download_default_checkpoint(cache_dir=None, url=None):
             f'DAFT_ALLOW_DOWNLOAD=1 to fetch {url} into {cache_dir}.')
     os.makedirs(cache_dir, exist_ok=True)
     tmp = dst + '.part'
-    if not url.startswith('file://'):
+    # a user-pinned URL (env or arg) bypasses the HF-hub default source —
+    # the hub branch would fetch the hardcoded repo instead of the pin
+    if url == DEFAULT_CHECKPOINT_URL:
         try:
             from huggingface_hub import hf_hub_download
             hf_path = hf_hub_download(repo_id=DEFAULT_CHECKPOINT_HF_REPO,
@@ -265,6 +268,7 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
     x = _conv1d(mel, params['conv_pre']['w'], params['conv_pre']['b'])
     cur_p = 1        # current phase depth of x: (B, cur_p*C, T/cur_p)
     cur_tc = False   # x currently in (B, T, C) time-major layout
+    xla_min_c = int(os.environ.get('DAFT_MRF_XLA_MIN_C', '0') or 0)
     n_ups = len(cfg['upsample_rates'])
     post_done = False
     for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
@@ -276,10 +280,9 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # rotations; the polyphase upsample emits (B, T, C) directly (the
         # phase interleave becomes a free reshape). int8 serving keeps
         # the ct kernel (its int8 form is the measured win at L1).
-        _xla_min_c = int(os.environ.get('DAFT_MRF_XLA_MIN_C', '0') or 0)
         want_tc = (use_pallas and cfg['resblock'] == '1' and not int8
                    and c_out >= 128 and cur_p == 1
-                   and not (_xla_min_c and c_out >= _xla_min_c)
+                   and not (xla_min_c and c_out >= xla_min_c)
                    and k - 2 * ((k - u) // 2) == u and u > 1
                    and os.environ.get('DAFT_MRF_TC', '1') != '0'
                    and os.environ.get('DAFT_POLY_UPS', '1') != '0')
@@ -344,7 +347,6 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # 0, B=8): XLA per-conv 6.94 ms vs ct 8.78 / tc 7.74 — XLA's own
         # lowering wins at the widest level; DAFT_MRF_XLA_MIN_C routes
         # such levels to plain XLA resblocks even under use_pallas
-        xla_min_c = int(os.environ.get('DAFT_MRF_XLA_MIN_C', '0') or 0)
         if use_pallas and cfg['resblock'] == '1' and \
                 not (xla_min_c and c_out >= xla_min_c):
             x = _pallas_mrf(params, x, i, cfg, num_kernels, pallas_tile,
@@ -681,12 +683,20 @@ class HiFiGanVocoder:
         if fast is None:
             env = os.environ.get('DAFT_FAST_VOCODER', '0')
             fast = env if env in ('int8', 'bf16') else env == '1'
-        int8 = fast == 'int8'
+        # DAFT_VOC_INT8=1 upgrades the generic fast tier to int8 (the
+        # pre-tier spelling documented in README — keep it working)
+        int8 = fast == 'int8' or (
+            bool(fast) and fast != 'bf16'
+            and os.environ.get('DAFT_VOC_INT8', '0') == '1')
         self.fast = bool(fast)
         # optional: per-channel STATIC activation scales for the int8
         # tier, calibrated on representative mels (cuts the waveform
         # error ~20%: rel-L2 0.0064 vs 0.0081 dynamic — PARITY.md)
         act_scales = None
+        if int8_calibration_mels is not None and not int8:
+            warnings.warn("int8_calibration_mels given but the serving "
+                          "tier is not int8 (fast=%r) — calibration "
+                          "ignored" % (fast,))
         if int8 and int8_calibration_mels is not None:
             cal = jnp.asarray(int8_calibration_mels, jnp.float32)
             act_scales = calibrate_act_scales(params, cal, self.config)

@@ -59,6 +59,8 @@ def bank_from_features(features_root, output_dir, nb_files=28, seed=1234,
     if not entries:
         sys.exit(f'no preprocessed features (.markers) under '
                  f'{features_root} — run pre_process first')
+    entries.sort()                     # os.walk order is fs-dependent —
+                                       # sort so --seed is reproducible
     entries = rng.sample(entries, min(nb_files, len(entries)))
 
     os.makedirs(output_dir, exist_ok=True)

@@ -70,6 +70,19 @@ def check_vocoder(results):
         'rel_l2': relq, 'band': 0.25, 'pass': relq < 0.25}
     print(f'  int8 rel-L2 vs bf16 {relq:.3f}', flush=True)
 
+    print('vocoder int8-static chain (compiling ~4 min)...', flush=True)
+    from daft_exprt_tpu.models.hifigan import calibrate_act_scales
+    scales = calibrate_act_scales(params, mel)
+    outs = np.asarray(jax.jit(
+        lambda p, m, s: generator_forward(p, m, use_pallas=True, int8=True,
+                                          int8_act_scales=s))(
+        p16, mel.astype(jnp.bfloat16), scales), np.float64)
+    rels = float(np.linalg.norm(outs - out16) / (np.linalg.norm(out16)
+                                                 + 1e-12))
+    results['vocoder_int8_static_vs_bf16'] = {
+        'rel_l2': rels, 'band': 0.25, 'pass': rels < 0.25}
+    print(f'  int8-static rel-L2 vs bf16 {rels:.3f}', flush=True)
+
 
 def check_tc_kernel(results):
     from daft_exprt_tpu.ops.vocoder_kernels import (
