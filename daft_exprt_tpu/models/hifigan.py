@@ -541,6 +541,11 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
         if T % (p * eff) == 0:
             weights = pack_mrf_phase_weights(params, level, ks, dils, p)
             ph_scales = None
+            # DAFT_INT8_STATIC_PHASE=0: keep dynamic scales on the phase
+            # (narrow) levels while the ct levels use static — the
+            # standalone L2 numbers slightly favor dynamic there
+            if os.environ.get('DAFT_INT8_STATIC_PHASE', '1') == '0':
+                act_scales = None
             if act_scales is not None:
                 # phase pack order: per (block, dil): conv1, conv2
                 ph_scales = [s[i] for s1, s2 in act_scales

@@ -95,6 +95,19 @@ def main():
         y = fused_mrf_ct(x, w, ks, dils, tile=eff_ct, int8_chain=True)
         return jnp.sum(jnp.abs(y.astype(jnp.float32)))
 
+    # static per-channel act scales: synthetic calibration from the
+    # activation's own stats (value range ~0.1)
+    n_dil = len(dils[0])
+    stat_scales = [jnp.full((C,), 0.5, jnp.float32)
+                   for _ in range(len(ks) * n_dil * 2)]
+
+    @jax.jit
+    def run_phase_int8_static(params, x):
+        w = pack_mrf_phase_weights(params, 0, ks, dils, p)
+        y = fused_mrf_phase(x, w, ks, dils, p, tile=args.ptile,
+                            int8_chain=True, act_scales=stat_scales)
+        return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+
     @jax.jit
     def run_relayout(x):
         return jnp.sum(jnp.abs(from_phase(to_phase(x, p), p)
@@ -105,6 +118,7 @@ def main():
             ('ct-merged' if ct_merge else 'ct-pertap', run_ct, (params, x)),
             (f'phase-p{p}', run_phase, (params, x)),
             (f'phase-p{p}-int8', run_phase_int8, (params, x)),
+            (f'phase-p{p}-int8s', run_phase_int8_static, (params, x)),
             ('ct-int8', run_ct_int8, (params, x)),
             ]
     only = _os.environ.get('BENCH_ONLY')
