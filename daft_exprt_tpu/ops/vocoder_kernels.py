@@ -763,7 +763,7 @@ def _phase_conv_q8(t_in, wd_ref, sw_ref, b_ref, spec, C, p, L_out,
 
 def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                             post_k=0, ups_w=0, ups_base=0, halo_in=0,
-                            q8=False, q8s=False):
+                            q8=False, q8s=False, split=1):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
     HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
     [+ Wd_post, b_post when post_k] [+ Wb_ups, b_ups when ups_w] +
@@ -784,15 +784,26 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
     n_w = (8 if q8s else (6 if q8 else 4)) * sum(len(d) for d in dils)
     n_post = 2 if post_k else 0
     n_ups = (3 if q8 else 2) if ups_w else 0
-    o_ref = refs[n_w + n_post + n_ups]
-    x_scratch = refs[n_w + n_post + n_ups + 1]
-    sem = refs[n_w + n_post + n_ups + 2]
+    base = n_w + n_post + n_ups
+    o_ref = refs[base]
+    x_scratch = refs[base + 1]
+    sem = refs[base + 2]
     # in q8 mode the bf16 stack only feeds the conv_post epilogue — it is
-    # not allocated at all when post_k == 0 (dead VMEM otherwise)
+    # not allocated at all when post_k == 0 (dead VMEM otherwise).
+    # ``split`` halves get independent stacks so their compute DAGs share
+    # no scratch (lets the scheduler overlap half A's MXU phase with half
+    # B's VPU phase — the chain otherwise alternates strictly).
     has_bf16_stack = (not q8) or bool(post_k)
-    stack_ref = refs[n_w + n_post + n_ups + 3] if has_bf16_stack else None
-    stack8_ref = refs[n_w + n_post + n_ups + (4 if has_bf16_stack else 3)] \
-        if q8 else None
+    idx = base + 3
+    stack_refs = stack8_refs = None
+    if has_bf16_stack:
+        stack_refs = refs[idx: idx + split]
+        idx += split
+    if q8:
+        stack8_refs = refs[idx: idx + split]
+        idx += split
+    stack_ref = stack_refs[0] if stack_refs else None
+    stack8_ref = stack8_refs[0] if stack8_refs else None
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -835,66 +846,82 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                   + b_ups[:]).astype(cdt)
     else:
         x0 = x_scratch[:]                    # (p*C, tile + 2*halo)
-    acc_out = None
-    ref_idx = 0
-    for blk in range(nb):
-        k = ks[blk]
-        cur = x0.astype(jnp.float32)
-        cur_len = tile + 2 * halo
-        off = 0                              # col 0 of cur in halo'd coords
-        for d in dils[blk]:
-            s1 = _phase_conv_spec(k, d, p)
-            s2 = _phase_conv_spec(k, 1, p)
-            L1 = cur_len - (s1['W'] - 1)
-            L2 = L1 - (s2['W'] - 1)
-            if q8s:
-                (wd1, sw1, inv1, b1,
-                 wd2, sw2, inv2, b2) = refs[ref_idx:ref_idx + 8]
-                ref_idx += 8
-                a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C, p,
-                                    L1, stack8_ref, inv_s_ref=inv1)
-                a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C, p,
-                                    L2, stack8_ref, inv_s_ref=inv2)
-            elif q8:
-                wd1, sw1, b1, wd2, sw2, b2 = refs[ref_idx:ref_idx + 6]
-                ref_idx += 6
-                a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C, p,
-                                    L1, stack8_ref)
-                a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C, p,
-                                    L2, stack8_ref)
-            else:
-                wd1, b1, wd2, b2 = refs[ref_idx:ref_idx + 4]
-                ref_idx += 4
-                t_in = _lrelu(cur).astype(cdt)
-                a1 = _phase_conv(t_in, wd1, b1, s1, C, p, L1, stack_ref)
-                t2 = _lrelu(a1).astype(cdt)
-                a2 = _phase_conv(t2, wd2, b2, s2, C, p, L2, stack_ref)
-            shift = -s1['dmin'] - s2['dmin']
-            cur = cur[:, shift:shift + L2] + a2
-            cur_len = L2
-            off += shift
-        start = halo + a0 - off
-        tile_out = cur[:, start: start + tile + ext]
-        acc_out = tile_out if acc_out is None else acc_out + tile_out
-    acc_out = acc_out * (1.0 / nb)
-    if post_k:
-        wd_post, b_post = refs[n_w:n_w + 2]
-        t_in = _lrelu(acc_out).astype(cdt)
-        y = _phase_conv(t_in, wd_post, b_post, sp, C, p, tile, stack_ref)
-        o_ref[0, :, :] = jnp.tanh(y).astype(o_ref.dtype)
+
+    def run_chain(x0w, w_out, stk, stk8):
+        """Full MRF chain (+ post epilogue) on a window of ``w_out``
+        output columns; x0w: (p*C, w_out + 2*halo)."""
+        acc_out = None
+        ref_idx = 0
+        for blk in range(nb):
+            k = ks[blk]
+            cur = x0w.astype(jnp.float32)
+            cur_len = w_out + 2 * halo
+            off = 0                          # col 0 of cur in halo'd coords
+            for d in dils[blk]:
+                s1 = _phase_conv_spec(k, d, p)
+                s2 = _phase_conv_spec(k, 1, p)
+                L1 = cur_len - (s1['W'] - 1)
+                L2 = L1 - (s2['W'] - 1)
+                if q8s:
+                    (wd1, sw1, inv1, b1,
+                     wd2, sw2, inv2, b2) = refs[ref_idx:ref_idx + 8]
+                    ref_idx += 8
+                    a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C,
+                                        p, L1, stk8, inv_s_ref=inv1)
+                    a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C,
+                                        p, L2, stk8, inv_s_ref=inv2)
+                elif q8:
+                    wd1, sw1, b1, wd2, sw2, b2 = refs[ref_idx:ref_idx + 6]
+                    ref_idx += 6
+                    a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C,
+                                        p, L1, stk8)
+                    a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C,
+                                        p, L2, stk8)
+                else:
+                    wd1, b1, wd2, b2 = refs[ref_idx:ref_idx + 4]
+                    ref_idx += 4
+                    t_in = _lrelu(cur).astype(cdt)
+                    a1 = _phase_conv(t_in, wd1, b1, s1, C, p, L1, stk)
+                    t2 = _lrelu(a1).astype(cdt)
+                    a2 = _phase_conv(t2, wd2, b2, s2, C, p, L2, stk)
+                shift = -s1['dmin'] - s2['dmin']
+                cur = cur[:, shift:shift + L2] + a2
+                cur_len = L2
+                off += shift
+            start = halo + a0 - off
+            win = cur[:, start: start + w_out + ext]
+            acc_out = win if acc_out is None else acc_out + win
+        acc_out = acc_out * (1.0 / nb)
+        if post_k:
+            wd_post, b_post = refs[n_w:n_w + 2]
+            t_in = _lrelu(acc_out).astype(cdt)
+            y = _phase_conv(t_in, wd_post, b_post, sp, C, p, w_out, stk)
+            return jnp.tanh(y)
+        return acc_out
+
+    if split == 1:
+        o_ref[0, :, :] = run_chain(x0, tile, stack_ref,
+                                   stack8_ref).astype(o_ref.dtype)
     else:
-        o_ref[0, :, :] = acc_out.astype(o_ref.dtype)
+        h = tile // split
+        for si in range(split):
+            y = run_chain(x0[:, si * h: si * h + h + 2 * halo], h,
+                          stack_refs[si] if stack_refs else None,
+                          stack8_refs[si] if stack8_refs else None)
+            o_ref[0, :, si * h:(si + 1) * h] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
                                              'p', 'tile', 'in_phase',
                                              'out_phase', 'post_k',
                                              'ups_w', 'ups_dmin',
-                                             'int8_chain', 'interpret'))
+                                             'int8_chain', 'split',
+                                             'interpret'))
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                     in_phase=False, out_phase=False, post_weights=None,
                     post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
-                    int8_chain=False, act_scales=None, interpret=False):
+                    int8_chain=False, act_scales=None, split=1,
+                    interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -991,18 +1018,37 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
 
     xp = jnp.pad(xp, ((0, 0), (0, 0), (halo_in, halo_in)))
     n_tiles = Tq // tile
+    if tile % split != 0:
+        raise ValueError(f'tile={tile} not divisible by split={split}')
 
     kernel = functools.partial(
         _fused_mrf_phase_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         nb=nb, p=p, C=C, post_k=post_k, ups_w=ups_w, ups_base=ups_base,
-        halo_in=halo_in, q8=int8_chain, q8s=q8s)
+        halo_in=halo_in, q8=int8_chain, q8s=q8s, split=split)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
         in_specs.append(pl.BlockSpec(
             w.shape, (lambda b, t, _n=w.ndim: (0,) * _n),
             memory_space=pltpu.VMEM))
+
+    # split halves get independent stacks (full width: the ups prologue
+    # stages into stack[0] at tile+2*halo columns)
+    bf16_rows = ((_phase_conv_spec(post_k, 1, p)['W'] if int8_chain
+                  else max_w) * p * C)
+    scratch = [
+        pltpu.VMEM((p * C, tile + 2 * halo_in), x.dtype),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if not int8_chain or post_k:
+        # in int8_chain mode the bf16 stack only feeds the conv_post
+        # epilogue — sized to the post spec's W
+        scratch += [pltpu.VMEM((bf16_rows, tile + 2 * halo), x.dtype)
+                    for _ in range(split)]
+    if int8_chain:
+        scratch += [pltpu.VMEM((chain_max_w * p * C, tile + 2 * halo),
+                               jnp.int8) for _ in range(split)]
 
     out = pl.pallas_call(
         kernel,
@@ -1011,18 +1057,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         out_specs=pl.BlockSpec((1, c_rows, tile), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, c_rows, Tq), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((p * C, tile + 2 * halo_in), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ] + ([pltpu.VMEM((
-                 # in int8_chain mode the bf16 stack only feeds the
-                 # conv_post epilogue — size it to the post spec's W
-                 ((_phase_conv_spec(post_k, 1, p)['W'] if int8_chain
-                   else max_w) * p * C),
-                 tile + 2 * halo), x.dtype)]
-             if (not int8_chain or post_k) else []) + \
-            ([pltpu.VMEM((chain_max_w * p * C, tile + 2 * halo), jnp.int8)]
-             if int8_chain else []),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

@@ -13,14 +13,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, runs=3, warmup=1):
+def timeit(fn, *args, runs=3, warmup=1, reps=8):
+    """Dispatch ``reps`` calls back-to-back and fetch once per timed loop:
+    a per-call fetch would charge the ~25 ms tunnel round trip to every
+    rep (the round-3 per-level numbers were read with that bias —
+    CLAUDE.md)."""
     for _ in range(warmup):
         float(fn(*args))
     ts = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        for _ in range(reps):
+            v = fn(*args)
+        float(v)
+        ts.append((time.perf_counter() - t0) / reps)
     return min(ts), ts
 
 

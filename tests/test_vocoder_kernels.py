@@ -456,3 +456,31 @@ def test_int8_static_act_scales_phase_and_ct():
         # static calibration should be in the same error band as dynamic
         # (usually better: per-channel beats per-tile)
         assert rel_stat < max(2.0 * rel_dyn, 0.05), (rel_stat, rel_dyn)
+
+
+def test_fused_mrf_phase_split_matches():
+    """split=2 (independent half-windows) is bit-identical in bf16 and
+    within dynamic-scale noise in int8."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, pack_mrf_phase_weights)
+    rng = np.random.RandomState(9)
+    C, p, B, T = 32, 4, 1, 4096
+    ks, dils = (3, 7), ((1, 3), (1, 3))
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        rb = {}
+        for i in range(len(d)):
+            for pre in ('convs1', 'convs2'):
+                rb[f'{pre}_{i}'] = {
+                    'w': jnp.asarray(rng.randn(C, C, k).astype(np.float32)
+                                     * 0.02),
+                    'b': jnp.asarray(rng.randn(C).astype(np.float32) * .01)}
+        params[f'resblock_0_{j}'] = rb
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    w = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    y1 = np.asarray(fused_mrf_phase(x, w, ks, dils, p, tile=512,
+                                    interpret=True))
+    y2 = np.asarray(fused_mrf_phase(x, w, ks, dils, p, tile=512, split=2,
+                                    interpret=True))
+    assert np.abs(y1 - y2).max() < 1e-6
