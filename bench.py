@@ -28,6 +28,14 @@ def main():
     fused_attn = (not parity
                   and os.environ.get('BENCH_FUSED_ATTN', '1') != '0')
     hp, model = _full_size_model(fused_attention=fused_attn)
+    # BENCH_ACOUSTIC_DTYPE=bfloat16: bf16 FFT-block compute in the
+    # acoustic model — measured NEUTRAL (2300 vs 2309 f32 at B=128; the
+    # acoustic is not matmul-bound at this batch), so f32 stays default
+    if not parity and os.environ.get('BENCH_ACOUSTIC_DTYPE',
+                                     'float32') == 'bfloat16':
+        hp.compute_dtype = 'bfloat16'
+        from daft_exprt_tpu.models.daft_exprt import DaftExprt
+        model = DaftExprt.from_hparams(hp)
     # BENCH_BATCH=1 measures the BASELINE.md batch-1 RTF config; the
     # default (driver) config is batch 128 (batch sweep: 32 → 1434,
     # 64 → 1507, 128 → 1554 audio-s/s — fixed dispatch/acoustic overhead
