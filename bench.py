@@ -2,7 +2,9 @@
 
 Metric: synthesized audio-seconds per wall-second (RTF) for the full
 pipeline (acoustic model inference + HiFi-GAN vocoding) on the available
-accelerator, batch-32, ~11.9 s utterances. The reference publishes no
+accelerator, batch-128, ~11.9 s utterances, int8 quantized serving tier
+with static per-channel act scales (BENCH_INT8=0 → bf16 tier,
+BENCH_DTYPE=float32 → parity-exact f32). The reference publishes no
 numbers (BASELINE.md); vs_baseline is the ratio to real-time (RTF 1.0),
 the reference's own runtime-measured metric
 (reference: src/daft_exprt/generate.py:384-397).
