@@ -760,6 +760,7 @@ def load_torch_generator(path, config=None):
 
 
 def load_hifigan_vocoder(checkpoint_path=None, params=None, config=None,
-                         fast=None):
+                         fast=None, int8_calibration_mels=None):
     return HiFiGanVocoder(params=params, config=config,
-                          checkpoint_path=checkpoint_path, fast=fast)
+                          checkpoint_path=checkpoint_path, fast=fast,
+                          int8_calibration_mels=int8_calibration_mels)

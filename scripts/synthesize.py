@@ -366,13 +366,32 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
 
     vocoder = None
     if not args.use_griffin_lim:
+        tier = 'int8' if getattr(args, 'int8_vocoder', False) \
+            else (args.fast_vocoder or None)
+        # int8 tier: calibrate static per-channel act scales on mels of
+        # the style-bank reference audio when available (−20% waveform
+        # error and faster than dynamic scales — PARITY.md)
+        cal_mels = None
+        if tier == 'int8' and bank_wavs:
+            from daft_exprt_tpu.frontend.audio import load_wav
+            from daft_exprt_tpu.ops.mel import MelExtractor
+            extractor = MelExtractor(hparams)
+            wavs = sorted(f for f in os.listdir(bank_wavs)
+                          if f.endswith('.wav'))[:2]
+            mels = [np.asarray(extractor(load_wav(
+                os.path.join(bank_wavs, f),
+                target_sr=hparams.sampling_rate)[0])) for f in wavs]
+            if mels:
+                T_min = min(m.shape[1] for m in mels)
+                cal_mels = np.stack([m[:, :T_min] for m in mels])
+                _logger.info(f'int8 static scales calibrated on '
+                             f'{len(mels)} style-bank mels')
         # no explicit --vocoder_checkpoint → the universal-checkpoint
         # auto-download path (reference: vocoder/hifigan.py:43-68), gated
         # behind DAFT_ALLOW_DOWNLOAD with a clean offline error
         vocoder = load_hifigan_vocoder(args.vocoder_checkpoint or None,
-                                       fast='int8' if getattr(
-                                           args, 'int8_vocoder', False)
-                                       else (args.fast_vocoder or None))
+                                       fast=tier,
+                                       int8_calibration_mels=cal_mels)
 
     synthesizer = Synthesizer(model, params, hparams, vocoder=vocoder)
 

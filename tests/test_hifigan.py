@@ -353,3 +353,29 @@ def test_vocoder_int8_static_calibration():
     rel = np.linalg.norm(stat[sl] - exact[sl]) \
         / (np.linalg.norm(exact[sl]) + 1e-12)
     assert rel < 0.1, rel
+
+
+def test_fast_tier_env_int8_upgrade(monkeypatch):
+    """DAFT_VOC_INT8=1 upgrades fast=True to the int8 tier (the
+    README-documented pre-tier spelling)."""
+    import jax
+    from daft_exprt_tpu.models.hifigan import init_generator_params
+    # channels must be %32 for the int8 kernels to engage
+    cfg = {'sampling_rate': 22050, 'upsample_rates': [2, 2],
+           'upsample_kernel_sizes': [4, 4],
+           'upsample_initial_channel': 128, 'resblock': '1',
+           'resblock_kernel_sizes': [3],
+           'resblock_dilation_sizes': [[1, 3]], 'model_in_dim': 80}
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    mel = np.log(np.random.RandomState(0)
+                 .rand(80, 128).astype(np.float32) + 1e-5)
+    explicit = HiFiGanVocoder(params=params, config=cfg,
+                              fast='int8').infer(mel)
+    monkeypatch.setenv('DAFT_VOC_INT8', '1')
+    upgraded = HiFiGanVocoder(params=params, config=cfg,
+                              fast=True).infer(mel)
+    assert np.allclose(upgraded, explicit)
+    # 'bf16' spelling stays full-precision even with the env set
+    bf16 = HiFiGanVocoder(params=params, config=cfg,
+                          fast='bf16').infer(mel)
+    assert not np.allclose(bf16, explicit)

@@ -329,3 +329,67 @@ def test_zero_argument_demo_with_style_bank(tmp_path):
     from daft_exprt_tpu.frontend.audio import load_wav
     w, _ = load_wav(os.path.join(args.output_dir, wavs[0]), target_sr=sr)
     assert np.isfinite(w).all() and len(w) > 1000
+
+
+def test_synthesize_int8_calibrates_from_style_bank(tmp_path, monkeypatch):
+    """--int8_vocoder assembles static-scale calibration mels from the
+    style-bank reference audio (wired through load_hifigan_vocoder)."""
+    import argparse
+    from daft_exprt_tpu import checkpoint as ckpt
+    from daft_exprt_tpu.frontend.audio import save_wav
+    from daft_exprt_tpu.train import init_model_and_state
+    import scripts.synthesize as syn
+    from scripts.make_style_bank import bank_from_features
+    from tests.synth_data import build_synthetic_dataset
+    from tests.test_training import SMALL
+
+    root = str(tmp_path / 'ds')
+    _, _, features_root = build_synthetic_dataset(root, n_speakers=1,
+                                                  files_per_speaker=3)
+    sr = 22050
+    t = np.arange(sr) / sr
+    for i in range(3):
+        save_wav(os.path.join(features_root, 'speaker_0',
+                              f'utt_{i:03d}.wav'),
+                 (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32), sr)
+    bank = str(tmp_path / 'bank')
+    bank_from_features(features_root, bank, nb_files=2, seed=0)
+
+    stats = {'spk 0': {'pitch': {'mean': 5.0, 'std': 0.2},
+                       'energy': {'mean': 8.0, 'std': 5.0}}}
+    config = dict(language='english', speakers=['speaker_0'],
+                  phoneme_encoder=dict(SMALL), accent_encoder=dict(SMALL),
+                  frame_decoder=dict(SMALL), length_buckets=[16, 32],
+                  frame_buckets=[64, 128], stats=stats)
+    from daft_exprt_tpu.hparams import HyperParams
+    hp = HyperParams(verbose=False, training_files='unused',
+                     validation_files='unused',
+                     output_directory=str(tmp_path / 'exp'), **config)
+    _, params = init_model_and_state(hp)
+    ck = str(tmp_path / 'ck')
+    ckpt.save_checkpoint(ck, params, config_params=config)
+
+    captured = {}
+
+    def fake_loader(checkpoint_path=None, fast=None,
+                    int8_calibration_mels=None, **kw):
+        captured['fast'] = fast
+        captured['cal'] = int8_calibration_mels
+        raise RuntimeError('stop-after-capture')
+
+    monkeypatch.setattr(
+        'daft_exprt_tpu.models.hifigan.load_hifigan_vocoder', fake_loader)
+    args = argparse.Namespace(
+        output_dir=str(tmp_path / 'out'), checkpoint=ck,
+        symbol_prosody_file='', style_bank=bank, speaker_id=0,
+        config_overrides='', use_griffin_lim=False, fast_vocoder=False,
+        int8_vocoder=True, vocoder_checkpoint='', reduce_buzz=False,
+        batch_size=4, real_time_factor=False, new_speaker_stats='',
+        neutralize_prosody=False, alpha_dur=1.0, alpha_pitch=1.0,
+        alpha_energy=1.0, spk_emb_audios_dir='', spk_emb_file='',
+        accent_emb_audios_dir='', accent_emb_file='')
+    with pytest.raises(RuntimeError, match='stop-after-capture'):
+        syn.synthesize(args)
+    assert captured['fast'] == 'int8'
+    assert captured['cal'] is not None
+    assert captured['cal'].ndim == 3 and captured['cal'].shape[1] == 80
