@@ -38,6 +38,26 @@ DEFAULT_CHECKPOINT_HF_REPO = 'espnet/kan-bayashi_ljspeech_hifigan'
 DEFAULT_CHECKPOINT_NAME = 'hifigan_ljspeech_generator.pth'
 
 
+def _verify_sha256(path):
+    """If ``DAFT_HIFIGAN_SHA256`` is set, check the downloaded artifact
+    against it before it enters the cache (defense against a compromised
+    or substituted download source)."""
+    expected = os.environ.get('DAFT_HIFIGAN_SHA256', '').strip().lower()
+    if not expected:
+        return
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, 'rb') as f:
+        for chunk in iter(lambda: f.read(1 << 20), b''):
+            h.update(chunk)
+    got = h.hexdigest()
+    if got != expected:
+        os.remove(path)
+        raise RuntimeError(
+            f'downloaded checkpoint sha256 mismatch: expected {expected}, '
+            f'got {got} — refusing to cache it.')
+
+
 def download_default_checkpoint(cache_dir=None, url=None):
     """Fetch (and cache) the universal HiFi-GAN generator checkpoint
     (reference: src/daft_exprt/vocoder/hifigan.py:43-68).
@@ -73,7 +93,12 @@ def download_default_checkpoint(cache_dir=None, url=None):
             from huggingface_hub import hf_hub_download
             hf_path = hf_hub_download(repo_id=DEFAULT_CHECKPOINT_HF_REPO,
                                       filename='generator.pth')
-            shutil.copyfile(hf_path, dst)
+            # stage through tmp + atomic rename (like the HTTP branch) so a
+            # crash mid-copy can't leave a truncated file that later calls
+            # treat as a cache hit
+            shutil.copyfile(hf_path, tmp)
+            _verify_sha256(tmp)
+            os.replace(tmp, dst)
             return dst
         except ImportError:
             pass
@@ -88,6 +113,7 @@ def download_default_checkpoint(cache_dir=None, url=None):
         if os.path.isfile(tmp):
             os.remove(tmp)
         raise
+    _verify_sha256(tmp)
     os.replace(tmp, dst)
     return dst
 
@@ -751,8 +777,25 @@ class HiFiGanVocoder:
 
 
 def load_torch_generator(path, config=None):
+    """Load a torch HiFi-GAN generator checkpoint and convert it.
+
+    Loads with ``weights_only=True`` (the generator checkpoints are plain
+    tensor dicts, so full pickle deserialization is never needed); this
+    keeps a network-fetched artifact from executing arbitrary code at load
+    time. A checkpoint that genuinely needs full unpickling must be opted
+    into with ``DAFT_TORCH_LOAD_UNSAFE=1`` — reserved for local, trusted
+    files only."""
     import torch
-    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location='cpu', weights_only=True)
+    except Exception:
+        if os.environ.get('DAFT_TORCH_LOAD_UNSAFE', '0') != '1':
+            raise RuntimeError(
+                f'{path} is not loadable with torch.load(weights_only=True) '
+                '(it pickles non-tensor objects). Refusing to unpickle an '
+                'untrusted checkpoint; set DAFT_TORCH_LOAD_UNSAFE=1 only '
+                'for local files you trust.')
+        ckpt = torch.load(path, map_location='cpu', weights_only=False)
     sd = ckpt.get('generator', ckpt.get('state_dict', ckpt)) \
         if isinstance(ckpt, dict) else ckpt
     sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}

@@ -68,8 +68,21 @@ def bank_from_features(features_root, output_dir, nb_files=28, seed=1234,
     spk_embs = []
     all_pitch, all_energy = [], []
     n_wavs = 0
+    used_names = set()
     for fdir, name in entries:
         base = os.path.join(fdir, name)
+        # duplicate utterance basenames across speaker feature dirs would
+        # collapse in the bank (last wav wins, prosody keys mispair in
+        # synthesize.py) — uniquify with the speaker dir name
+        out_name = name
+        if out_name in used_names:
+            speaker = os.path.basename(os.path.normpath(fdir))
+            out_name = f'{speaker}_{name}'
+            k = 2
+            while out_name in used_names:
+                out_name = f'{speaker}_{name}_{k}'
+                k += 1
+        used_names.add(out_name)
         symbols, durs = [], []
         with open(f'{base}.markers', 'r', encoding='utf-8') as f:
             for line in f:
@@ -81,7 +94,7 @@ def bank_from_features(features_root, output_dir, nb_files=28, seed=1234,
         tuples = [(s, d, round(float(p), 3), round(float(e), 3))
                   for s, d, p, e in zip(symbols, durs, sym_pitch,
                                         sym_energy)]
-        prosody_lines.append(f'{name}|{tuples!r}\n')
+        prosody_lines.append(f'{out_name}|{tuples!r}\n')
 
         frames_f0 = _read_floats(f'{base}.frames_f0')
         frames_nrg = _read_floats(f'{base}.frames_nrg')
@@ -94,7 +107,8 @@ def bank_from_features(features_root, output_dir, nb_files=28, seed=1234,
 
         wav = _find_wav(fdir, name, data_set_dir)
         if wav:
-            shutil.copyfile(wav, os.path.join(output_dir, f'{name}.wav'))
+            shutil.copyfile(wav, os.path.join(output_dir,
+                                              f'{out_name}.wav'))
             n_wavs += 1
 
     with open(os.path.join(output_dir, 'bank.prosody'), 'w',

@@ -444,6 +444,11 @@ def synthesize(args, dur_factor=None, pitch_factor=None,
         f'{base}_spk_{sid}': prosody
         for base, sid, prosody in zip(file_names, speaker_ids,
                                       external_prosody)}
+    if len(prosody_by_name) != len(file_names):
+        raise ValueError(
+            'duplicate utterance names in the prosody file — the '
+            'prosody-comparison pairing would silently mispair. Rebuild '
+            'the style bank (make_style_bank.py uniquifies names).')
     for name, (dur, dur_i, nrg, f0, mel, w) in predictions.items():
         prosody = prosody_by_name[name]
         plot_prosody_curves(
