@@ -459,10 +459,11 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
                                in_phase=True, out_phase=True,
                                post_weights=post_weights, post_k=post_k,
                                int8_chain=int8, act_scales=ph_scales,
+                               int8_fused=_int8_fused(),
                                interpret=interpret, **kw), True
     return fused_mrf_phase(x_p, weights, ks, dils, p, tile=eff,
                            in_phase=True, out_phase=True, int8_chain=int8,
-                           act_scales=ph_scales,
+                           act_scales=ph_scales, int8_fused=_int8_fused(),
                            interpret=interpret, **kw), False
 
 
@@ -538,6 +539,13 @@ def _pallas_mrf_tc(params, x_tc, level, cfg, tile, interpret=False):
                         interpret=interpret)
 
 
+def _int8_fused():
+    """DAFT_INT8_FUSED_EPI=0 reverts the int8-static kernels to the
+    round-3 separate dequant→lrelu→requant epilogue (A/B knob). Passed to
+    the kernels as a static jit arg so flipping it re-keys the cache."""
+    return os.environ.get('DAFT_INT8_FUSED_EPI', '1') != '0'
+
+
 def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
                 act_scales=None, interpret=False):
     """Multi-receptive-field fusion of one upsample level's resblocks via
@@ -579,6 +587,7 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
                              for s in (s1, s2)]
             return fused_mrf_phase(x, weights, ks, dils, p, tile=eff,
                                    int8_chain=int8, act_scales=ph_scales,
+                                   int8_fused=_int8_fused(),
                                    interpret=interpret)
     # scale the time tile with channel width so the in-kernel chain
     # (several live (C, tile) f32 intermediates + the packed weights)
@@ -602,7 +611,8 @@ def _pallas_mrf(params, x, level, cfg, num_kernels, tile, int8=False,
         ct_scales = [s for s1, s2 in act_scales for s in (s1, s2)]
     return fused_mrf_ct(x, weights, ks, dils, tile=eff_tile,
                         merge_taps=merge, int8_chain=int8,
-                        act_scales=ct_scales, interpret=interpret)
+                        act_scales=ct_scales, int8_fused=_int8_fused(),
+                        interpret=interpret)
 
 
 def init_generator_params(rng, config=None, std=0.01):

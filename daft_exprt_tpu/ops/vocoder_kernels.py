@@ -71,6 +71,41 @@ def _quantize_static(x, inv_s):
     return jnp.clip(jnp.round(x * inv_s), -127.0, 127.0).astype(jnp.int8)
 
 
+def _quantize_lrelu_static(x, inv_s):
+    """``_quantize_static(_lrelu(x), inv_s)`` in one sweep: ``inv_s`` > 0
+    commutes with lrelu, so the slope folds into a per-element multiplier
+    select — cmp/sel/mul/round/clip/cast instead of the separate
+    lrelu (cmp/mul/sel) + quantize (mul/round/clip/cast) chains. Exact
+    (bit-identical rounding) vs the two-step form."""
+    m = jnp.where(x >= 0, inv_s, LRELU_SLOPE * inv_s)
+    return jnp.clip(jnp.round(x * m), -127.0, 127.0).astype(jnp.int8)
+
+
+def _requant_lrelu_s32(acc, b_i32, mult):
+    """Collapse the conv1→conv2 boundary (dequant s32→f32 → +bias → f32
+    lrelu → static requant to s8) into one s32-domain sweep.
+
+    With per-row dequant scale ``sw1`` > 0 and next-conv act scale
+    ``inv2`` > 0:  quantize(lrelu(acc*sw1 + b1), inv2)
+    == clip(round((acc + round(b1/sw1)) * sel(sw1*inv2, slope*sw1*inv2))).
+    ``b_i32`` = round(b1/sw1) (bias in s32 accumulator counts; rounding
+    error ≤ 0.5*sw1 on the preactivation, far below the boundary's own s8
+    step 1/inv2), ``mult`` = sw1*inv2 per conv1-output row."""
+    accb = acc + b_i32
+    m = jnp.where(accb >= 0, mult, LRELU_SLOPE * mult)
+    return jnp.clip(jnp.round(accb.astype(jnp.float32) * m),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
+def _fuse_boundary_consts(sw1, b1, inv2):
+    """Pack-time constants for :func:`_requant_lrelu_s32`. Clip the s32
+    bias so an all-zero weight row (sw1 ~ 1e-32 guard) cannot overflow the
+    float→int cast; its contribution then rounds to zero in the multiply."""
+    b_i32 = jnp.clip(jnp.round(b1.astype(jnp.float32) / sw1),
+                     -2.0 ** 30, 2.0 ** 30).astype(jnp.int32)
+    return b_i32, (sw1 * inv2).astype(jnp.float32)
+
+
 def fold_act_scales_taps(w, s_in, margin=1.1):
     """Fold per-channel act scales into per-tap weights (n_dil, k, C_out,
     C_in) before row quantization: W'[..., ci] = W[..., ci] * s[ci].
@@ -228,23 +263,29 @@ def _ct_conv(t_in, w_ref, b_ref, i, k, d, L_out, merged, stack_ref=None):
     return acc + b_ref[i]
 
 
-def _ct_conv_q8(q, s_x, wq_ref, sw_ref, b_ref, i, k, d, L_out):
-    """int8 variant of :func:`_ct_conv` (unmerged): per-tap s8 x s8 -> s32
-    dots against lane-shifted slices of the pre-quantized activation,
-    accumulated in int32, dequantized once with (row_scale * act_scale).
-    ``s_x=None`` = static act scales (already folded into the weights at
-    pack time): dequantize with the row scale alone."""
+def _ct_dot_q8(q, wq_ref, i, k, d, L_out):
+    """Per-tap s8 x s8 -> s32 dots against lane-shifted slices of the
+    pre-quantized activation, accumulated in int32 (no dequant)."""
     acc = None
     for tap in range(k):
         seg = q[:, tap * d: tap * d + L_out]       # static int8 lane slice
         c = jnp.dot(wq_ref[i, tap], seg, preferred_element_type=jnp.int32)
         acc = c if acc is None else acc + c
+    return acc
+
+
+def _ct_conv_q8(q, s_x, wq_ref, sw_ref, b_ref, i, k, d, L_out):
+    """int8 variant of :func:`_ct_conv` (unmerged): s32 tap dots,
+    dequantized once with (row_scale * act_scale). ``s_x=None`` = static
+    act scales (already folded into the weights at pack time): dequantize
+    with the row scale alone."""
+    acc = _ct_dot_q8(q, wq_ref, i, k, d, L_out)
     scale = sw_ref[i] if s_x is None else sw_ref[i] * s_x
     return acc.astype(jnp.float32) * scale + b_ref[i]
 
 
 def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
-                         q8=False, q8s=False):
+                         q8=False, q8s=False, q8f=False):
     """Multi-receptive-field fusion, channels-in-sublanes layout.
 
     refs = [w1_0, b1_0, w2_0, b2_0, ..., w1_{nb-1}, ..., o_ref, x_scratch,
@@ -253,9 +294,12 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
     whole chain in VMEM. Weights w: (n_dil, k, C_out, C_in) — or
     (n_dil, C_out, k*C_in) when ``merge`` — biases b: (n_dil, C, 1).
     ``q8s``: static per-channel act scales — refs per block are
-    [w1q, sw1, inv1, b1, w2q, sw2, inv2, b2].
+    [w1q, sw1, inv1, b1, w2q, sw2, inv2, b2]. ``q8f``: static scales with
+    the conv1→conv2 boundary collapsed into the integer domain
+    (:func:`_requant_lrelu_s32`) — refs per block are
+    [w1q, inv1, b1_i32, mult1, w2q, sw2, b2].
     """
-    stride = 8 if q8s else (6 if q8 else 4)
+    stride = 7 if q8f else (8 if q8s else (6 if q8 else 4))
     o_ref = refs[stride * nb]
     x_scratch = refs[stride * nb + 1]
     sem = refs[stride * nb + 2]
@@ -281,7 +325,15 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
             h1 = d * half
             L1 = cur_len - 2 * h1
             L2 = L1 - 2 * half
-            if q8s:
+            if q8f:
+                w1q, inv1, b1i, m1, w2q, sw2, b2_ref = \
+                    refs[7 * blk: 7 * blk + 7]
+                q = _quantize_lrelu_static(cur, inv1[i])
+                acc1 = _ct_dot_q8(q, w1q, i, k, d, L1)
+                q2 = _requant_lrelu_s32(acc1, b1i[i], m1[i])
+                acc2 = (_ct_dot_q8(q2, w2q, i, k, 1, L2)
+                        .astype(jnp.float32) * sw2[i] + b2_ref[i])
+            elif q8s:
                 w1q, sw1, inv1, b1_ref, w2q, sw2, inv2, b2_ref = \
                     refs[8 * blk: 8 * blk + 8]
                 q = _quantize_static(_lrelu(cur), inv1[i])
@@ -314,10 +366,11 @@ def _fused_mrf_ct_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, merge,
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
                                              'tile', 'merge_taps',
-                                             'int8_chain', 'interpret'))
+                                             'int8_chain', 'int8_fused',
+                                             'interpret'))
 def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
                  merge_taps=False, int8_chain=False, act_scales=None,
-                 interpret=False):
+                 int8_fused=True, interpret=False):
     """Fused multi-receptive-field resblock group, (B, C, T) layout.
 
     x: (B, C, T) — the natural conv layout (time in lanes), so no
@@ -346,7 +399,25 @@ def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
     x_padded = jnp.pad(x, ((0, 0), (0, 0), (halo, halo)))
 
     q8s = int8_chain and act_scales is not None
-    if int8_chain:
+    q8f = q8s and int8_fused
+    if q8f:
+        # fused boundary: per block [w1q, inv1, b1_i32, mult1, w2q, sw2,
+        # b2] — conv1's dequant/bias/lrelu and conv2's requant collapse
+        # into one s32-domain sweep inside the kernel
+        qw = []
+        for j in range(0, len(weights), 4):
+            w1, b1, w2, b2 = weights[j:j + 4]
+            n_dil, _, c_out, _ = w1.shape
+            w1f, inv1 = fold_act_scales_taps(w1, act_scales[j // 2])
+            wq1, sw1 = quantize_rows(w1f, row_axes=(0, 2))
+            sw1 = sw1.reshape(n_dil, c_out, 1)
+            w2f, inv2 = fold_act_scales_taps(w2, act_scales[j // 2 + 1])
+            wq2, sw2 = quantize_rows(w2f, row_axes=(0, 2))
+            b1i, mult1 = _fuse_boundary_consts(sw1, b1, inv2)
+            qw += [wq1, inv1, b1i, mult1, wq2,
+                   sw2.reshape(n_dil, c_out, 1), b2.astype(jnp.float32)]
+        weights = qw
+    elif int8_chain:
         qw = []
         for i in range(0, len(weights), 2):
             w, b = weights[i], weights[i + 1]
@@ -366,7 +437,8 @@ def fused_mrf_ct(x, weights, kernel_sizes, dilations, tile=8192,
     kernel = functools.partial(
         _fused_mrf_ct_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        nb=nb, merge=merge_taps, q8=int8_chain and not q8s, q8s=q8s)
+        nb=nb, merge=merge_taps, q8=int8_chain and not q8s,
+        q8s=q8s and not q8f, q8f=q8f)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -738,6 +810,17 @@ def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
     return acc + b_ref[:]
 
 
+def _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref):
+    """Stage the W int8 lane shifts of a pre-quantized phase tile and run
+    the banded s8 x s8 -> s32 matmul (no dequant)."""
+    pc = p * C
+    for u in range(spec['W']):
+        stack8_ref[u * pc:(u + 1) * pc, 0:L_out] = q[:, u:u + L_out]
+    row0 = spec['j0'] * C
+    operand = stack8_ref[row0:row0 + spec['kcols'] * C, 0:L_out]
+    return jnp.dot(wd_ref[:], operand, preferred_element_type=jnp.int32)
+
+
 def _phase_conv_q8(t_in, wd_ref, sw_ref, b_ref, spec, C, p, L_out,
                    stack8_ref, inv_s_ref=None):
     """int8 variant of :func:`_phase_conv`: quantize the f32 activation
@@ -746,24 +829,19 @@ def _phase_conv_q8(t_in, wd_ref, sw_ref, b_ref, spec, C, p, L_out,
     stage the W lane shifts as int8, one s8 x s8 -> s32 banded matmul,
     dequantize with the row scale (× act scale when dynamic) and add the
     bias in f32."""
-    pc = p * C
     if inv_s_ref is None:
         q, s_x = _quantize_dynamic(t_in)
         scale = sw_ref[:] * s_x
     else:
         q = _quantize_static(t_in, inv_s_ref[:])
         scale = sw_ref[:]
-    for u in range(spec['W']):
-        stack8_ref[u * pc:(u + 1) * pc, 0:L_out] = q[:, u:u + L_out]
-    row0 = spec['j0'] * C
-    operand = stack8_ref[row0:row0 + spec['kcols'] * C, 0:L_out]
-    acc = jnp.dot(wd_ref[:], operand, preferred_element_type=jnp.int32)
+    acc = _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref)
     return acc.astype(jnp.float32) * scale + b_ref[:]
 
 
 def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                             post_k=0, ups_w=0, ups_base=0, halo_in=0,
-                            q8=False, q8s=False, split=1):
+                            q8=False, q8s=False, q8f=False, split=1):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
     HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
     [+ Wd_post, b_post when post_k] [+ Wb_ups, b_ups when ups_w] +
@@ -781,7 +859,8 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
     (p*C, ups_w * p_in*C_in) matmul over ``ups_w`` staged shifts — the
     XLA phase upsamples cost ~52 ms each at B=128 and an extra HBM round
     trip; here they ride the tile already in VMEM."""
-    n_w = (8 if q8s else (6 if q8 else 4)) * sum(len(d) for d in dils)
+    n_w = ((7 if q8f else (8 if q8s else (6 if q8 else 4)))
+           * sum(len(d) for d in dils))
     n_post = 2 if post_k else 0
     n_ups = (3 if q8 else 2) if ups_w else 0
     base = n_w + n_post + n_ups
@@ -862,7 +941,16 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                 s2 = _phase_conv_spec(k, 1, p)
                 L1 = cur_len - (s1['W'] - 1)
                 L2 = L1 - (s2['W'] - 1)
-                if q8s:
+                if q8f:
+                    (wd1, inv1, b1i, m1,
+                     wd2, sw2, b2) = refs[ref_idx:ref_idx + 7]
+                    ref_idx += 7
+                    q_in = _quantize_lrelu_static(cur, inv1[:])
+                    acc1 = _phase_dot_q8(q_in, wd1, s1, C, p, L1, stk8)
+                    q_mid = _requant_lrelu_s32(acc1, b1i[:], m1[:])
+                    a2 = (_phase_dot_q8(q_mid, wd2, s2, C, p, L2, stk8)
+                          .astype(jnp.float32) * sw2[:] + b2[:])
+                elif q8s:
                     (wd1, sw1, inv1, b1,
                      wd2, sw2, inv2, b2) = refs[ref_idx:ref_idx + 8]
                     ref_idx += 8
@@ -915,13 +1003,13 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                                              'p', 'tile', 'in_phase',
                                              'out_phase', 'post_k',
                                              'ups_w', 'ups_dmin',
-                                             'int8_chain', 'split',
-                                             'interpret'))
+                                             'int8_chain', 'int8_fused',
+                                             'split', 'interpret'))
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                     in_phase=False, out_phase=False, post_weights=None,
                     post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
-                    int8_chain=False, act_scales=None, split=1,
-                    interpret=False):
+                    int8_chain=False, act_scales=None, int8_fused=True,
+                    split=1, interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -970,7 +1058,24 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     chain_max_w = max_w
 
     q8s = int8_chain and act_scales is not None
-    if int8_chain:
+    q8f = q8s and int8_fused
+    if q8f:
+        # fused boundary (see _requant_lrelu_s32): per dilation
+        # [wd1q, inv1, b1_i32, mult1, wd2q, sw2, b2]
+        qw = []
+        for j in range(0, len(weights), 4):
+            wd1, b1, wd2, b2 = weights[j:j + 4]
+            wd1f, inv1 = fold_act_scales_band(wd1, act_scales[j // 2],
+                                              C, p)
+            wq1, sw1 = quantize_rows(wd1f)
+            wd2f, inv2 = fold_act_scales_band(wd2, act_scales[j // 2 + 1],
+                                              C, p)
+            wq2, sw2 = quantize_rows(wd2f)
+            b1i, mult1 = _fuse_boundary_consts(sw1, b1, inv2)
+            qw += [wq1, inv1, b1i, mult1, wq2, sw2,
+                   b2.astype(jnp.float32)]
+        weights = qw
+    elif int8_chain:
         qw = []
         for i in range(0, len(weights), 2):
             wd = weights[i]
@@ -1025,7 +1130,8 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         _fused_mrf_phase_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         nb=nb, p=p, C=C, post_k=post_k, ups_w=ups_w, ups_base=ups_base,
-        halo_in=halo_in, q8=int8_chain, q8s=q8s, split=split)
+        halo_in=halo_in, q8=int8_chain, q8s=q8s and not q8f, q8f=q8f,
+        split=split)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:

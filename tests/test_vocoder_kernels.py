@@ -484,3 +484,71 @@ def test_fused_mrf_phase_split_matches():
     y2 = np.asarray(fused_mrf_phase(x, w, ks, dils, p, tile=512, split=2,
                                     interpret=True))
     assert np.abs(y1 - y2).max() < 1e-6
+
+
+def test_int8_fused_epilogue_matches_unfused():
+    """The integer-domain boundary collapse (dequant → bias → lrelu →
+    requant in one s32 sweep, vocoder_kernels._requant_lrelu_s32) must
+    track the separate-sweep static path: the only difference is the s32
+    bias rounding, ≤ 0.5*sw1 on the preactivation — far below the
+    boundary's own s8 quantization step."""
+    import jax
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        calibrate_act_scales, init_generator_params)
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_ct, fused_mrf_phase, pack_mrf_phase_weights,
+        pack_mrf_weights)
+
+    rng = np.random.RandomState(17)
+    # phase kernel (narrow C=32, p=4)
+    ks = (3, 7)
+    dils = ((1, 3), (1, 3))
+    B, C, T, p = 1, 32, 4096, 4
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        params[f'resblock_0_{j}'] = {
+            f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, k)
+                                            .astype(np.float32) * .05),
+                           'b': jnp.asarray(rng.randn(C)
+                                            .astype(np.float32) * .01)}
+            for pre in ('convs1', 'convs2') for i in range(len(d))}
+    weights = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    # synthetic per-channel calibration amax per conv, pack order
+    scales = [jnp.asarray(0.5 + rng.rand(C).astype(np.float32))
+              for _ in range(2 * sum(len(d) for d in dils))]
+    sep = np.asarray(fused_mrf_phase(x, weights, ks, dils, p, tile=512,
+                                     int8_chain=True, act_scales=scales,
+                                     int8_fused=False, interpret=True))
+    fus = np.asarray(fused_mrf_phase(x, weights, ks, dils, p, tile=512,
+                                     int8_chain=True, act_scales=scales,
+                                     int8_fused=True, interpret=True))
+    rel = np.linalg.norm(fus - sep) / max(np.linalg.norm(sep), 1e-9)
+    assert rel < 0.02, rel
+
+    # ct kernel (wide C=128, per-tap)
+    ks2 = (3,)
+    dils2 = ((1, 3),)
+    C2 = 128
+    x2 = jnp.asarray(rng.randn(1, C2, 1024).astype(np.float32) * 0.1)
+    w2 = []
+    for k, d in zip(ks2, dils2):
+        w2 += [jnp.asarray(rng.randn(len(d), k, C2, C2)
+                           .astype(np.float32) * .02),
+               jnp.asarray(rng.randn(len(d), C2, 1)
+                           .astype(np.float32) * .01),
+               jnp.asarray(rng.randn(len(d), k, C2, C2)
+                           .astype(np.float32) * .02),
+               jnp.asarray(rng.randn(len(d), C2, 1)
+                           .astype(np.float32) * .01)]
+    scales2 = [jnp.asarray(0.5 + rng.rand(len(d), C2).astype(np.float32))
+               for k, d in zip(ks2, dils2) for _ in (0, 1)]
+    sep2 = np.asarray(fused_mrf_ct(x2, w2, ks2, dils2, tile=512,
+                                   int8_chain=True, act_scales=scales2,
+                                   int8_fused=False, interpret=True))
+    fus2 = np.asarray(fused_mrf_ct(x2, w2, ks2, dils2, tile=512,
+                                   int8_chain=True, act_scales=scales2,
+                                   int8_fused=True, interpret=True))
+    rel2 = np.linalg.norm(fus2 - sep2) / max(np.linalg.norm(sep2), 1e-9)
+    assert rel2 < 0.02, rel2
