@@ -393,3 +393,47 @@ def test_synthesize_int8_calibrates_from_style_bank(tmp_path, monkeypatch):
     assert captured['fast'] == 'int8'
     assert captured['cal'] is not None
     assert captured['cal'].ndim == 3 and captured['cal'].shape[1] == 80
+
+
+def test_zero_argument_demo_with_committed_bank(tmp_path):
+    """The COMMITTED demo bank (scripts/style_bank/english, generated
+    from the synthetic corpus — see its README) must drive the
+    zero-argument synthesize flow on a fresh clone, matching the
+    reference's bundled-bank out-of-box demo
+    (reference: scripts/synthesize.py:656)."""
+    import argparse
+    from daft_exprt_tpu import checkpoint as ckpt
+    from daft_exprt_tpu.train import init_model_and_state
+    from scripts.synthesize import synthesize
+    from tests.test_training import SMALL
+
+    bank = os.path.join(REPO, 'scripts', 'style_bank', 'english')
+    assert os.path.isfile(os.path.join(bank, 'bank.prosody')), \
+        'committed demo bank missing'
+
+    stats = {'spk 0': {'pitch': {'mean': 5.0, 'std': 0.2},
+                       'energy': {'mean': 8.0, 'std': 5.0}}}
+    config = dict(language='english', speakers=['speaker_0'],
+                  phoneme_encoder=dict(SMALL), accent_encoder=dict(SMALL),
+                  frame_decoder=dict(SMALL), length_buckets=[16, 32],
+                  frame_buckets=[64, 128], stats=stats)
+    hp = HyperParams(verbose=False, training_files='unused',
+                     validation_files='unused',
+                     output_directory=str(tmp_path / 'exp'), **config)
+    _, params = init_model_and_state(hp)
+    ck = str(tmp_path / 'demo_ckpt')
+    ckpt.save_checkpoint(ck, params, config_params=config)
+
+    args = argparse.Namespace(
+        output_dir=str(tmp_path / 'out'), checkpoint=ck,
+        symbol_prosody_file='', style_bank=bank, speaker_id=0,
+        config_overrides='', use_griffin_lim=True, fast_vocoder=False,
+        vocoder_checkpoint='', reduce_buzz=False, batch_size=4,
+        real_time_factor=False, new_speaker_stats='',
+        neutralize_prosody=False, alpha_dur=1.0, alpha_pitch=1.0,
+        alpha_energy=1.0, spk_emb_audios_dir='', spk_emb_file='',
+        accent_emb_audios_dir='', accent_emb_file='')
+    preds = synthesize(args)
+    assert len(preds) >= 1
+    wavs = [f for f in os.listdir(args.output_dir) if f.endswith('.wav')]
+    assert len(wavs) == len(preds)
