@@ -250,7 +250,7 @@ def _resblock2(params, x, dilations):
 
 def generator_forward(params: Dict[str, Any], mel, config=None,
                       use_pallas=False, pallas_tile=8192, int8=None,
-                      int8_act_scales=None, interpret=False):
+                      int8_act_scales=None, interpret=False, _tap=None):
     """mel: (B, n_mels, T) → wav (B, 1, T * prod(upsample_rates)).
 
     ``use_pallas=True`` routes each ResBlock1 group through the fused
@@ -283,6 +283,9 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                          'fused Pallas kernels; the XLA path would '
                          'silently serve full precision')
     int8 = bool(int8) and use_pallas
+    # _tap: diagnostics-only hook called as _tap(level, x, cur_p, cur_tc)
+    # after each upsample level (scripts/qualify_int8.py per-level error
+    # budgets); captured values join the traced outputs of the caller.
     num_kernels = len(cfg['resblock_kernel_sizes'])
     resblock = _resblock1 if cfg['resblock'] == '1' else _resblock2
     # DAFT_MRF_PHASE=0 is the phase-kernel kill switch — it must disable
@@ -304,9 +307,16 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # wide levels (C >= 128): time-in-sublanes MRF kernel — tap
         # shifts are sublane offsets (free) vs the ct kernel's VPU lane
         # rotations; the polyphase upsample emits (B, T, C) directly (the
-        # phase interleave becomes a free reshape). int8 serving keeps
-        # the ct kernel (its int8 form is the measured win at L1).
-        want_tc = (use_pallas and cfg['resblock'] == '1' and not int8
+        # phase interleave becomes a free reshape). int8-static serving
+        # routes here too (tc-int8: dense FLOPs at the s8 MXU rate; the
+        # banded ct form's kcols/k inflation cancels most of int8's 2x);
+        # dynamic-scale int8 keeps the ct kernel (per-tile scales don't
+        # commute with the tc input-channel fold).
+        tc_int8 = (int8 and (int8_act_scales or {}).get(i) is not None
+                   and c_out % 32 == 0
+                   and os.environ.get('DAFT_MRF_TC_INT8', '1') != '0')
+        want_tc = (use_pallas and cfg['resblock'] == '1'
+                   and (not int8 or tc_int8)
                    and c_out >= 128 and cur_p == 1
                    and not (xla_min_c and c_out >= xla_min_c)
                    and k - 2 * ((k - u) // 2) == u and u > 1
@@ -317,8 +327,12 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 _lrelu(x), params[f'ups_{i}']['w'], params[f'ups_{i}']['b'],
                 u, (k - u) // 2, in_tc=cur_tc, out_tc=True)
             x = _pallas_mrf_tc(params, x, i, cfg, pallas_tile,
+                               int8=int8 and tc_int8,
+                               act_scales=(int8_act_scales or {}).get(i),
                                interpret=interpret)
             cur_tc = True
+            if _tap is not None:
+                _tap(i, x, cur_p, cur_tc)
             continue
         if cur_tc:
             x = jnp.swapaxes(x, 1, 2)               # back to (B, C, T)
@@ -360,6 +374,8 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 int8=int8 and c_out % 32 == 0,
                 act_scales=(int8_act_scales or {}).get(i),
                 interpret=interpret)
+            if _tap is not None:
+                _tap(i, x, cur_p, cur_tc)
             continue
         x = _lrelu(x)
         if cur_p > 1:
@@ -386,6 +402,8 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 y = resblock(rb, x, dil)
                 xs = y if xs is None else xs + y
             x = xs / num_kernels
+        if _tap is not None:
+            _tap(i, x, cur_p, cur_tc)
     if post_done:
         # tail already applied in the fused epilogue; x is (B, p*1, T/p)
         from daft_exprt_tpu.ops.vocoder_kernels import from_phase
@@ -518,12 +536,17 @@ def calibrate_act_scales(params, mels, config=None):
     return jax.tree_util.tree_map(np.asarray, scales)
 
 
-def _pallas_mrf_tc(params, x_tc, level, cfg, tile, interpret=False):
+def _pallas_mrf_tc(params, x_tc, level, cfg, tile, int8=False,
+                   act_scales=None, interpret=False):
     """Wide-level MRF via the time-in-sublanes kernel: tap shifts are
     sublane offsets instead of VPU lane rotations (the measured ~33%
-    overhead holding L1 at 67% MXU). x_tc: (B, T, C) → (B, T, C)."""
+    overhead holding L1 at 67% MXU). x_tc: (B, T, C) → (B, T, C).
+    With ``int8`` + this level's ``act_scales`` calibration entry, runs
+    the tc int8-static form — dense conv FLOPs at the 2x s8 MXU rate
+    (the banded ct/phase int8 forms pay a kcols/k FLOP inflation that
+    cancels most of the int8 rate gain; tc-int8 keeps all of it)."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
-        fused_mrf_tc, pack_mrf_tc_weights)
+        fused_mrf_tc, pack_mrf_tc_int8_weights, pack_mrf_tc_weights)
     B, T, C = x_tc.shape
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
@@ -534,6 +557,11 @@ def _pallas_mrf_tc(params, x_tc, level, cfg, tile, interpret=False):
         eff_tile = min(eff_tile, T)
         while T % eff_tile != 0:
             eff_tile //= 2
+    if int8 and act_scales is not None:
+        weights = pack_mrf_tc_int8_weights(params, level, ks, dils,
+                                           act_scales)
+        return fused_mrf_tc(x_tc, weights, ks, dils, tile=eff_tile,
+                            q8=True, interpret=interpret)
     weights = pack_mrf_tc_weights(params, level, ks, dils)
     return fused_mrf_tc(x_tc, weights, ks, dils, tile=eff_tile,
                         interpret=interpret)

@@ -12,6 +12,7 @@ expressing every conv as k shifted (T, C) @ (C, C) matmuls on the MXU, with
 the halo DMA'd once per tile — 6x less HBM traffic and no per-op dispatch.
 """
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -507,13 +508,28 @@ def pack_mrf_weights(params, level, kernel_sizes, dilations,
 # (C_in, C_out) fills the MXU whenever C >= 128. Narrow levels stay on
 # the phase kernel (lanes would idle at C < 128); wide levels route here.
 
-def _fused_mrf_tc_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
+def _fused_mrf_tc_kernel(x_hbm, *refs, tile, halo, ks, dils, nb,
+                         hoist=False, q8=False):
     """MRF fusion, time-in-sublanes. x_hbm: (B, T + 2*halo, C) in HBM;
     refs = [w1_b, b1_b, w2_b, b2_b] * nb + o_ref + x_scratch + sem with
-    w: (n_dil, k, C_in, C_out) and b: (n_dil, C). o block: (1, tile, C)."""
-    o_ref = refs[4 * nb]
-    x_scratch = refs[4 * nb + 1]
-    sem = refs[4 * nb + 2]
+    w: (n_dil, k, C_in, C_out) and b: (n_dil, C). o block: (1, tile, C).
+
+    ``hoist``: compute the first-dilation conv1 input (lrelu(x0), identical
+    across the nb blocks — every block's residual stream starts at x0) once
+    instead of per block — an explicit CSE of 2 of the 18 lrelu+cast VPU
+    sweeps per chain (L1's measured elementwise wall).
+
+    ``q8``: int8-static serving form. refs become
+    [wq1, inv1, b1i, m1, wq2, sw2, b2] * nb with wq (n_dil, k, C, C) s8
+    (act scales folded into input-channel columns at pack time,
+    :func:`pack_mrf_tc_int8_weights`) and per-lane (n_dil, 1, C) vectors.
+    Unlike the banded ct/phase int8 forms this keeps DENSE conv FLOPs
+    (no kcols/k inflation) at full M=N=128 MXU occupancy — tap shifts
+    stay free sublane offsets on the s8 values."""
+    n_per = 7 if q8 else 4
+    o_ref = refs[n_per * nb]
+    x_scratch = refs[n_per * nb + 1]
+    sem = refs[n_per * nb + 2]
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -525,36 +541,65 @@ def _fused_mrf_tc_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
 
     cdt = x_scratch.dtype
     x0 = x_scratch[:]                          # (tile + 2*halo, C)
+    x0f = x0.astype(jnp.float32)
     acc_out = None
     for blk in range(nb):
         k = ks[blk]
         half = (k - 1) // 2
-        w1_ref, b1_ref, w2_ref, b2_ref = refs[4 * blk: 4 * blk + 4]
-        cur = x0.astype(jnp.float32)
+        cur = x0f
         cur_len = tile + 2 * halo
-        for i, d in enumerate(dils[blk]):
-            h1 = d * half
-            L1 = cur_len - 2 * h1
-            L2 = L1 - 2 * half
-            t_in = _lrelu(cur).astype(cdt)
-            acc = None
-            for tap in range(k):
-                seg = t_in[tap * d: tap * d + L1]      # sublane slice: free
-                c = jnp.dot(seg, w1_ref[i, tap],
-                            preferred_element_type=jnp.float32)
-                acc = c if acc is None else acc + c
-            acc = acc + b1_ref[i][None, :]
-            t2 = _lrelu(acc).astype(cdt)
-            acc2 = None
-            for tap in range(k):
-                seg = t2[tap: tap + L2]
-                c = jnp.dot(seg, w2_ref[i, tap],
-                            preferred_element_type=jnp.float32)
-                acc2 = c if acc2 is None else acc2 + c
-            acc2 = acc2 + b2_ref[i][None, :]
-            shrink = h1 + half
-            cur = cur[shrink: shrink + L2] + acc2
-            cur_len = L2
+        if q8:
+            (wq1_ref, inv1_ref, b1i_ref, m1_ref,
+             wq2_ref, sw2_ref, b2_ref) = refs[n_per * blk: n_per * blk + 7]
+            for i, d in enumerate(dils[blk]):
+                h1 = d * half
+                L1 = cur_len - 2 * h1
+                L2 = L1 - 2 * half
+                q_in = _quantize_lrelu_static(cur, inv1_ref[i])
+                acc = None
+                for tap in range(k):
+                    seg = q_in[tap * d: tap * d + L1]
+                    c = jnp.dot(seg, wq1_ref[i, tap],
+                                preferred_element_type=jnp.int32)
+                    acc = c if acc is None else acc + c
+                q_mid = _requant_lrelu_s32(acc, b1i_ref[i], m1_ref[i])
+                acc2 = None
+                for tap in range(k):
+                    seg = q_mid[tap: tap + L2]
+                    c = jnp.dot(seg, wq2_ref[i, tap],
+                                preferred_element_type=jnp.int32)
+                    acc2 = c if acc2 is None else acc2 + c
+                a2 = acc2.astype(jnp.float32) * sw2_ref[i] + b2_ref[i]
+                shrink = h1 + half
+                cur = cur[shrink: shrink + L2] + a2
+                cur_len = L2
+        else:
+            t00 = _lrelu(x0f).astype(cdt) if hoist else None
+            w1_ref, b1_ref, w2_ref, b2_ref = refs[4 * blk: 4 * blk + 4]
+            for i, d in enumerate(dils[blk]):
+                h1 = d * half
+                L1 = cur_len - 2 * h1
+                L2 = L1 - 2 * half
+                t_in = (t00 if (hoist and i == 0)
+                        else _lrelu(cur).astype(cdt))
+                acc = None
+                for tap in range(k):
+                    seg = t_in[tap * d: tap * d + L1]  # sublane slice: free
+                    c = jnp.dot(seg, w1_ref[i, tap],
+                                preferred_element_type=jnp.float32)
+                    acc = c if acc is None else acc + c
+                acc = acc + b1_ref[i][None, :]
+                t2 = _lrelu(acc).astype(cdt)
+                acc2 = None
+                for tap in range(k):
+                    seg = t2[tap: tap + L2]
+                    c = jnp.dot(seg, w2_ref[i, tap],
+                                preferred_element_type=jnp.float32)
+                    acc2 = c if acc2 is None else acc2 + c
+                acc2 = acc2 + b2_ref[i][None, :]
+                shrink = h1 + half
+                cur = cur[shrink: shrink + L2] + acc2
+                cur_len = L2
         extra = (cur_len - tile) // 2
         tile_out = cur[extra: extra + tile]
         acc_out = tile_out if acc_out is None else acc_out + tile_out
@@ -562,13 +607,21 @@ def _fused_mrf_tc_kernel(x_hbm, *refs, tile, halo, ks, dils, nb):
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
-                                             'tile', 'interpret'))
+                                             'tile', 'interpret', 'hoist',
+                                             'q8'))
 def fused_mrf_tc(x, weights, kernel_sizes, dilations, tile=4096,
-                 interpret=False):
+                 interpret=False, hoist=None, q8=False):
     """Fused MRF resblock group, (B, T, C) layout — the wide-level twin of
-    :func:`fused_mrf_ct`. ``weights`` from :func:`pack_mrf_tc_weights`.
+    :func:`fused_mrf_ct`. ``weights`` from :func:`pack_mrf_tc_weights`
+    (or :func:`pack_mrf_tc_int8_weights` with ``q8=True`` — the int8-static
+    serving form: dense conv FLOPs at the 2x s8 MXU rate with free sublane
+    tap shifts, unlike the banded ct/phase int8 forms).
     Interior samples exact vs the per-conv reference; utterance edges
-    collapse SAME padding across the chain like the other fused kernels."""
+    collapse SAME padding across the chain like the other fused kernels.
+    ``hoist`` (default: env DAFT_TC_HOIST, on) shares the first-dilation
+    lrelu sweep across blocks — bit-identical output either way."""
+    if hoist is None:
+        hoist = os.environ.get('DAFT_TC_HOIST', '1') != '0'
     B, T, C = x.shape
     nb = len(kernel_sizes)
     halo = max(resblock1_halo(k, d)
@@ -581,7 +634,7 @@ def fused_mrf_tc(x, weights, kernel_sizes, dilations, tile=4096,
     kernel = functools.partial(
         _fused_mrf_tc_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        nb=nb)
+        nb=nb, hoist=bool(hoist), q8=bool(q8))
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
@@ -604,6 +657,47 @@ def fused_mrf_tc(x, weights, kernel_sizes, dilations, tile=4096,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(x_padded, *weights)
+
+
+def pack_mrf_tc_int8_weights(params, level, kernel_sizes, dilations,
+                             act_scales, margin=1.1):
+    """int8-static weights for :func:`fused_mrf_tc` (``q8=True``): per
+    block [wq1, inv1, b1i, m1, wq2, sw2, b2].
+
+    In tc layout the contraction is (L, C_in) @ (C_in, C_out), so the
+    per-channel act scale folds into the weight's INPUT-CHANNEL axis
+    (w[tap, ci, co] * s[ci]) — trivially commuting with the time shifts —
+    and all per-lane vectors are (n_dil, 1, C). The conv1→conv2 boundary
+    uses the fused s32-domain requant (:func:`_requant_lrelu_s32`).
+    ``act_scales``: this level's [(s1, s2) per block] calibration entry
+    from ``calibrate_act_scales`` with s shaped (n_dil, C)."""
+    out = []
+    for j, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
+        rb = params[f'resblock_{level}_{j}']
+        s1_cal, s2_cal = act_scales[j]
+        packed = {}
+        for prefix, s_cal in (('convs1', s1_cal), ('convs2', s2_cal)):
+            wqs, sws, invs, bs = [], [], [], []
+            for i in range(len(dils)):
+                w = jnp.transpose(rb[f'{prefix}_{i}']['w'],
+                                  (2, 1, 0))                # (k, ci, co)
+                s = jnp.maximum(jnp.asarray(s_cal[i], jnp.float32),
+                                1e-30) * margin / 127.0     # (C,)
+                wf = w.astype(jnp.float32) * s[None, :, None]
+                wq, sw = quantize_rows(
+                    jnp.transpose(wf, (2, 0, 1)))           # rows = co
+                wqs.append(jnp.transpose(wq, (1, 2, 0)))    # (k, ci, co)
+                sws.append(sw[:, 0, 0])                     # (C,)
+                invs.append(1.0 / s)
+                bs.append(rb[f'{prefix}_{i}']['b'].astype(jnp.float32))
+            packed[prefix] = (jnp.stack(wqs), jnp.stack(sws)[:, None, :],
+                              jnp.stack(invs)[:, None, :],
+                              jnp.stack(bs)[:, None, :])
+        wq1, sw1, inv1, b1 = packed['convs1']
+        wq2, sw2, inv2, b2 = packed['convs2']
+        b1i, m1 = _fuse_boundary_consts(sw1, b1, inv2)
+        out += [wq1, inv1, b1i, m1, wq2, sw2, b2]
+    return out
 
 
 def pack_mrf_tc_weights(params, level, kernel_sizes, dilations):

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from daft_exprt_tpu.ops.vocoder_kernels import (
-    fused_mrf_ct, fused_mrf_tc, pack_mrf_tc_weights, pack_mrf_weights,
+    fused_mrf_ct, fused_mrf_tc, pack_mrf_tc_int8_weights,
+    pack_mrf_tc_weights, pack_mrf_weights,
 )
 
 ap = argparse.ArgumentParser()
@@ -30,6 +31,9 @@ ap.add_argument('--reps', type=int, default=30)
 ap.add_argument('--tile_ct', type=int, default=0)
 ap.add_argument('--tile_tc', type=int, default=0)
 ap.add_argument('--dtype', default='bfloat16')
+ap.add_argument('--kinds', default='',
+                help='comma list: ct-pertap,tc,tc+transpose-io,xla,'
+                     'tc-int8,ct-int8 (default: the four bf16 kinds)')
 args = ap.parse_args()
 
 C = {0: 256, 1: 128}[args.level]
@@ -89,6 +93,46 @@ def run_xla(params, x):
     return jnp.sum(jnp.abs((acc / len(ks)).astype(jnp.float32)))
 
 
+def _chain_act_scales():
+    """Per-conv input amax (calibration-style) from the XLA reference
+    chain — the int8-static benches fold these at pack time."""
+    from daft_exprt_tpu.models.hifigan import _conv1d, _lrelu
+    scales = []
+    pf = jax.tree_util.tree_map(lambda v: v.astype(jnp.float32), params)
+    xf = x_ct.astype(jnp.float32)
+    for j, (k, ds) in enumerate(zip(ks, dils)):
+        rb = pf[f'resblock_0_{j}']
+        cur, s1s, s2s = xf, [], []
+        for i, d in enumerate(ds):
+            t1 = _lrelu(cur)
+            s1s.append(jnp.max(jnp.abs(t1), axis=(0, 2)))
+            a = _conv1d(t1, rb[f'convs1_{i}']['w'],
+                        rb[f'convs1_{i}']['b'], dilation=d)
+            t2 = _lrelu(a)
+            s2s.append(jnp.max(jnp.abs(t2), axis=(0, 2)))
+            cur = cur + _conv1d(t2, rb[f'convs2_{i}']['w'],
+                                rb[f'convs2_{i}']['b'])
+        scales.append((np.asarray(jnp.stack(s1s)),
+                       np.asarray(jnp.stack(s2s))))
+    return scales
+
+
+@jax.jit
+def run_tc_int8(params, x):
+    w = pack_mrf_tc_int8_weights(params, 0, ks, dils, ACT_SCALES)
+    y = fused_mrf_tc(x, w, ks, dils, tile=tile_tc, q8=True)
+    return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+
+
+@jax.jit
+def run_ct_int8(params, x):
+    w = pack_mrf_weights(params, 0, ks, dils, merge_taps=False)
+    y = fused_mrf_ct(x, w, ks, dils, tile=tile_ct, int8_chain=True,
+                     act_scales=[s for s1, s2 in ACT_SCALES
+                                 for s in (s1, s2)])
+    return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+
+
 def bench(name, fn, *a):
     t0 = time.time()
     v = float(fn(*a))
@@ -106,10 +150,15 @@ def bench(name, fn, *a):
 
 print(f'level {args.level}: C={C} T={T} B={B} tile_ct={tile_ct} '
       f'tile_tc={tile_tc} dtype={args.dtype}', flush=True)
+kinds = {'ct-pertap': (run_ct, 'ct'), 'tc': (run_tc, 'tc'),
+         'tc+transpose-io': (run_tc_transposed_io, 'ct'),
+         'xla': (run_xla, 'ct'),
+         'tc-int8': (run_tc_int8, 'tc'), 'ct-int8': (run_ct_int8, 'ct')}
+sel = [k.strip() for k in args.kinds.split(',')] if args.kinds else \
+    ['ct-pertap', 'tc', 'tc+transpose-io', 'xla']
+ACT_SCALES = _chain_act_scales() if any('int8' in k for k in sel) else None
 r = {}
-for name, fn, xx in (('ct-pertap', run_ct, x_ct),
-                     ('tc', run_tc, x_tc),
-                     ('tc+transpose-io', run_tc_transposed_io, x_ct),
-                     ('xla', run_xla, x_ct)):
-    r[name] = bench(name, fn, params, xx)
+for name in sel:
+    fn, layout = kinds[name]
+    r[name] = bench(name, fn, params, x_ct if layout == 'ct' else x_tc)
 print({k: round(v, 2) for k, v in r.items()})

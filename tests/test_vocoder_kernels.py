@@ -302,6 +302,57 @@ def test_fused_mrf_ct_int8():
     assert rel < 0.06, rel
 
 
+def test_fused_mrf_tc_int8_static():
+    """tc-layout int8-static kernel (wide levels): dense FLOPs at the s8
+    MXU rate with act scales folded into the input-channel weight axis —
+    tracks the f32 tc kernel within the quantized-serving budget."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import _conv1d, _lrelu
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_tc, pack_mrf_tc_int8_weights, pack_mrf_tc_weights)
+    rng = np.random.RandomState(13)
+    ks = (3, 7)
+    dils = ((1, 3, 5), (1, 3, 5))
+    B, C, T = 1, 128, 2048
+    x_ct = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        params[f'resblock_0_{j}'] = {
+            f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, k)
+                                            .astype(np.float32) * .02),
+                           'b': jnp.asarray(rng.randn(C)
+                                            .astype(np.float32) * .01)}
+            for pre in ('convs1', 'convs2') for i in range(len(d))}
+    # calibration-style per-conv input amax (exactly what
+    # calibrate_act_scales records for this level)
+    scales = []
+    for j, (k, ds) in enumerate(zip(ks, dils)):
+        rb = params[f'resblock_0_{j}']
+        cur, s1s, s2s = x_ct, [], []
+        for i, d in enumerate(ds):
+            t1 = _lrelu(cur)
+            s1s.append(jnp.max(jnp.abs(t1), axis=(0, 2)))
+            a = _conv1d(t1, rb[f'convs1_{i}']['w'], rb[f'convs1_{i}']['b'],
+                        dilation=d)
+            t2 = _lrelu(a)
+            s2s.append(jnp.max(jnp.abs(t2), axis=(0, 2)))
+            cur = cur + _conv1d(t2, rb[f'convs2_{i}']['w'],
+                                rb[f'convs2_{i}']['b'])
+        scales.append((np.asarray(jnp.stack(s1s)),
+                       np.asarray(jnp.stack(s2s))))
+
+    x_tc = jnp.swapaxes(x_ct, 1, 2)
+    w_f = pack_mrf_tc_weights(params, 0, ks, dils)
+    ref = np.asarray(fused_mrf_tc(x_tc, w_f, ks, dils, tile=512,
+                                  interpret=True))
+    w_q = pack_mrf_tc_int8_weights(params, 0, ks, dils, scales)
+    q8 = np.asarray(fused_mrf_tc(x_tc, w_q, ks, dils, tile=512,
+                                 interpret=True, q8=True))
+    rel = np.linalg.norm(q8 - ref) / np.linalg.norm(ref)
+    assert rel < 0.06, rel
+    assert np.isfinite(q8).all()
+
+
 def test_generator_int8_path():
     """Full generator with int8 fused kernels: finite, close to the f32
     pallas path, and exercises every level's routing."""
@@ -381,6 +432,14 @@ def test_fused_mrf_tc_interior_exact(C):
     h = max(resblock1_halo(k, d) for k, d in zip(ks, dils))
     assert np.abs(out[:, h:-h, :] - ref[:, h:-h, :]).max() < 1e-5
     assert np.abs(out - ref).max() < 0.1
+    # the first-dilation lrelu hoist (explicit cross-block CSE) is
+    # bit-identical to the per-block form
+    unhoisted = np.asarray(fused_mrf_tc(x_tc, weights, ks, dils, tile=512,
+                                        interpret=True, hoist=False))
+    assert np.array_equal(out, np.asarray(
+        fused_mrf_tc(x_tc, weights, ks, dils, tile=512, interpret=True,
+                     hoist=True)))
+    assert np.abs(unhoisted - out).max() == 0.0
 
 
 def test_pack_mrf_tc_weights_matches_manual():
