@@ -8,10 +8,15 @@ verdict (VERDICT r2 next-step #1):
 1. briefly GAN-fine-tunes the full V1 generator on synthetic voiced audio
    (pulse trains through formant resonators — enough structure for the
    adversarial + mel losses to shape realistic weight statistics),
-2. measures int8-vs-f32 full-chain waveform rel-L2 / max-abs and mel-L1
-   on held-out mels, for both random-init and trained weights,
-3. optionally compares activation-scale schemes (per-tile dynamic vs
-   per-channel static calibration).
+2. measures int8-vs-f32 full-chain waveform rel-L2 / max-abs, mel-L1 and
+   a multi-resolution STFT distance (perceptual proxy) on held-out mels,
+   for both random-init and trained weights,
+3. compares activation-scale schemes (per-tile dynamic vs per-channel
+   static calibration), including a calibration-MISMATCH sweep (static
+   scales calibrated on quiet / noise corpora instead of matched speech)
+   with per-quant-point saturation rates against the 1.1 fold margin,
+4. records per-level error budgets (rel-L2 of the int8 chain vs the f32
+   reference at each upsample-level boundary, via the generator _tap hook).
 
 Usage:
   python scripts/qualify_int8.py --train_steps 300 --out /tmp/int8_qual
@@ -108,8 +113,153 @@ def train_generator(steps, batch, seed=0, log_every=50):
 
 
 # ----------------------------------------------------------------------
+# perceptual proxy: multi-resolution STFT distance
+# ----------------------------------------------------------------------
+
+def _stft_mag(x, nfft, hop):
+    """|STFT| of (N, S) via framed rfft, periodic hann."""
+    win = np.hanning(nfft + 1)[:-1]
+    n_frames = 1 + (x.shape[-1] - nfft) // hop
+    idx = np.arange(nfft)[None, :] + hop * np.arange(n_frames)[:, None]
+    return np.abs(np.fft.rfft(x[:, idx] * win, axis=-1))
+
+
+def mrstft_distance(x, y):
+    """Multi-resolution STFT distance between waveform batches (N, S):
+    mean over {512, 1024, 2048}-pt resolutions of the spectral convergence
+    ||X|-|Y||_F / |||Y||_F and the log-magnitude L1 (the standard
+    parallel-WaveGAN auxiliary-loss pair, here as an offline metric)."""
+    sc, lm = [], []
+    for nfft in (512, 1024, 2048):
+        X = _stft_mag(x, nfft, nfft // 4)
+        Y = _stft_mag(y, nfft, nfft // 4)
+        sc.append(np.linalg.norm(X - Y) / (np.linalg.norm(Y) + 1e-12))
+        lm.append(np.mean(np.abs(np.log(X + 1e-7) - np.log(Y + 1e-7))))
+    return float(np.mean(sc)), float(np.mean(lm))
+
+
+# ----------------------------------------------------------------------
+# static-scale diagnostics: saturation rates + per-level error budgets
+# ----------------------------------------------------------------------
+
+def saturation_report(params, mels, scales, margin=1.1):
+    """Fraction of f32-reference activations that exceed the calibrated
+    static range (cal_amax * margin) at every int8 quant point, i.e. the
+    values the static int8 kernels would clip. Returns
+    {level: {'mean': .., 'max': .., 'worst_point': 'rb{j}/d{ii}/conv{1|2}'}}.
+    Mirrors the calibrate_act_scales traversal on EVAL mels."""
+    from daft_exprt_tpu.models.hifigan import (
+        DEFAULT_CONFIG, _conv1d, _conv_transpose1d, _lrelu)
+    cfg = DEFAULT_CONFIG
+    mels = jnp.asarray(mels, jnp.float32)
+    x = _conv1d(mels, params['conv_pre']['w'], params['conv_pre']['b'])
+    report = {}
+    for i, (u, k) in enumerate(zip(cfg['upsample_rates'],
+                                   cfg['upsample_kernel_sizes'])):
+        x = _conv_transpose1d(_lrelu(x), params[f'ups_{i}']['w'],
+                              params[f'ups_{i}']['b'], stride=u,
+                              padding=(k - u) // 2)
+        xs = None
+        rates = {}
+        for j, dils in enumerate(cfg['resblock_dilation_sizes']):
+            rb = params[f'resblock_{i}_{j}']
+            s1s, s2s = scales[i][j]
+            cur = x
+            for ii, d in enumerate(dils):
+                t1 = _lrelu(cur)
+                thr1 = (s1s[ii] * margin)[None, :, None]
+                rates[f'rb{j}/d{ii}/conv1'] = float(
+                    jnp.mean(jnp.abs(t1) > thr1))
+                a = _conv1d(t1, rb[f'convs1_{ii}']['w'],
+                            rb[f'convs1_{ii}']['b'], dilation=d)
+                t2 = _lrelu(a)
+                thr2 = (s2s[ii] * margin)[None, :, None]
+                rates[f'rb{j}/d{ii}/conv2'] = float(
+                    jnp.mean(jnp.abs(t2) > thr2))
+                cur = cur + _conv1d(t2, rb[f'convs2_{ii}']['w'],
+                                    rb[f'convs2_{ii}']['b'])
+            xs = cur if xs is None else xs + cur
+        x = xs / len(cfg['resblock_kernel_sizes'])
+        worst = max(rates, key=rates.get)
+        report[f'level_{i}'] = {
+            'mean': float(np.mean(list(rates.values()))),
+            'max': rates[worst], 'worst_point': worst}
+    return report
+
+
+def per_level_budget(params, mel, scales):
+    """rel-L2 of the int8-static Pallas chain vs the f32 XLA reference at
+    each upsample-level boundary (canonical (B, C, T) layout, interior
+    samples). Runs with DAFT_FUSE_POST=0 so the last level's tap is the
+    MRF output on both paths."""
+    from daft_exprt_tpu.models.hifigan import generator_forward
+    from daft_exprt_tpu.ops.vocoder_kernels import from_phase
+
+    def canon(x, p, tc):
+        if tc:
+            return jnp.swapaxes(x, 1, 2)
+        if p > 1:
+            return from_phase(x, p)
+        return x
+
+    def make(**run_kwargs):
+        def f(p, m, s):
+            taps = {}
+
+            def tap(i, x, pp, tc):
+                taps[f'level_{i}'] = canon(x, pp, tc).astype(jnp.float32)
+
+            kw = dict(run_kwargs)
+            if s is not None:
+                kw['int8_act_scales'] = s
+            wav = generator_forward(p, m, _tap=tap, **kw)
+            return wav, taps
+        return jax.jit(f)
+
+    prev = os.environ.get('DAFT_FUSE_POST')
+    os.environ['DAFT_FUSE_POST'] = '0'
+    try:
+        _, t_ref = make(use_pallas=False)(params, mel, None)
+        p16 = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                     params)
+        print('  compiling int8-static chain (unfused post) for the '
+              'per-level taps...', flush=True)
+        _, t_q8 = make(use_pallas=True, int8=True)(
+            p16, mel.astype(jnp.bfloat16), scales)
+    finally:
+        if prev is None:
+            os.environ.pop('DAFT_FUSE_POST', None)
+        else:
+            os.environ['DAFT_FUSE_POST'] = prev
+
+    budget = {}
+    for key in sorted(t_ref):
+        r = np.asarray(t_ref[key], np.float64)
+        q = np.asarray(t_q8[key], np.float64)
+        cut = max(8, r.shape[-1] // 16)
+        rr, qq = r[..., cut:-cut], q[..., cut:-cut]
+        budget[key] = float(np.linalg.norm(qq - rr)
+                            / (np.linalg.norm(rr) + 1e-12))
+    return budget
+
+
+# ----------------------------------------------------------------------
 # evaluation
 # ----------------------------------------------------------------------
+
+_Q8S_FN = None
+
+
+def q8_static_fn():
+    """Shared jitted int8-static runner — one compile per process even
+    when the calibration scales change (same shapes, traced args)."""
+    global _Q8S_FN
+    if _Q8S_FN is None:
+        from daft_exprt_tpu.models.hifigan import generator_forward
+        _Q8S_FN = jax.jit(lambda p, m, s: generator_forward(
+            p, m, use_pallas=True, int8=True, int8_act_scales=s))
+    return _Q8S_FN
+
 
 def chain_outputs(params, mel, cal_mel=None, skip_bf16=False):
     """Returns dict name → wav for f32-XLA / bf16-pallas / int8-pallas
@@ -139,37 +289,77 @@ def chain_outputs(params, mel, cal_mel=None, skip_bf16=False):
 
     if cal_mel is not None:
         scales = calibrate_act_scales(params, cal_mel)
-        q8s = jax.jit(lambda p, m, s: generator_forward(
-            p, m, use_pallas=True, int8=True, int8_act_scales=s))
         print('  compiling int8-static pallas chain...', flush=True)
         outs['int8_static_pallas'] = np.asarray(
-            q8s(p16, m16, scales)).astype(np.float64)
+            q8_static_fn()(p16, m16, scales)).astype(np.float64)
     return outs
 
 
-def report(outs, loss_mel_fn):
-    ref = outs['f32_xla']
+def _interior(w):
     # edge samples differ by fused-chain SAME-padding semantics — compare
     # the interior (receptive field ~ a few thousand samples)
     cut = 4096
-    interior = (slice(None), slice(None), slice(cut, ref.shape[-1] - cut))
-    r = ref[interior]
+    return w[:, :, cut: w.shape[-1] - cut]
+
+
+def _metrics(x, r, loss_mel_fn):
+    rel_l2 = float(np.linalg.norm(x - r) / (np.linalg.norm(r) + 1e-12))
+    max_abs = float(np.abs(x - r).max())
+    mel_r = np.asarray(loss_mel_fn(jnp.asarray(r[:, 0, :],
+                                               dtype=jnp.float32)))
+    mel_x = np.asarray(loss_mel_fn(jnp.asarray(x[:, 0, :],
+                                               dtype=jnp.float32)))
+    mel_l1 = float(np.mean(np.abs(mel_r - mel_x)))
+    sc, lmag = mrstft_distance(x[:, 0, :], r[:, 0, :])
+    return {'wav_rel_l2': rel_l2, 'wav_max_abs': max_abs,
+            'mel_l1': mel_l1, 'mrstft_sc': sc, 'mrstft_logmag_l1': lmag}
+
+
+def _print_row(name, m):
+    print(f'  {name}: wav rel-L2 {m["wav_rel_l2"]:.4f}  '
+          f'max|Δ| {m["wav_max_abs"]:.4f}  mel-L1 {m["mel_l1"]:.4f}  '
+          f'mrstft sc {m["mrstft_sc"]:.4f} '
+          f'logmag-L1 {m["mrstft_logmag_l1"]:.4f}', flush=True)
+
+
+def report(outs, loss_mel_fn):
+    r = _interior(outs['f32_xla'])
     rows = {}
     for name, w in outs.items():
         if name == 'f32_xla':
             continue
-        x = w[interior]
-        rel_l2 = float(np.linalg.norm(x - r) / (np.linalg.norm(r) + 1e-12))
-        max_abs = float(np.abs(x - r).max())
-        mel_r = np.asarray(loss_mel_fn(jnp.asarray(r[:, 0, :],
-                                                   dtype=jnp.float32)))
-        mel_x = np.asarray(loss_mel_fn(jnp.asarray(x[:, 0, :],
-                                                   dtype=jnp.float32)))
-        mel_l1 = float(np.mean(np.abs(mel_r - mel_x)))
-        rows[name] = {'wav_rel_l2': rel_l2, 'wav_max_abs': max_abs,
-                      'mel_l1': mel_l1}
-        print(f'  {name}: wav rel-L2 {rel_l2:.4f}  max|Δ| {max_abs:.4f}  '
-              f'mel-L1 {mel_l1:.4f}', flush=True)
+        rows[name] = _metrics(_interior(w), r, loss_mel_fn)
+        _print_row(name, rows[name])
+    return rows
+
+
+def mismatch_sweep(params, mel_eval, f32_ref, cal_sets, loss_mel_fn,
+                   margin=1.1):
+    """Calibration-robustness sweep: int8-static quality + saturation rates
+    when the static act scales come from each corpus in ``cal_sets``
+    (reusing the already-compiled q8 chain — scales are traced args)."""
+    from daft_exprt_tpu.models.hifigan import calibrate_act_scales
+    p16 = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), params)
+    m16 = mel_eval.astype(jnp.bfloat16)
+    r = _interior(f32_ref)
+    rows = {}
+    for name, cal_mel in cal_sets.items():
+        scales = calibrate_act_scales(params, cal_mel)
+        wav = np.asarray(
+            q8_static_fn()(p16, m16, scales)).astype(np.float64)
+        m = _metrics(_interior(wav), r, loss_mel_fn)
+        sat = saturation_report(params, mel_eval, scales, margin=margin)
+        m['sat_mean'] = float(np.mean([v['mean'] for v in sat.values()]))
+        m['sat_max'] = float(max(v['max'] for v in sat.values()))
+        m['sat_worst_point'] = max(
+            sat, key=lambda k: sat[k]['max']) + '/' + max(
+            sat.values(), key=lambda v: v['max'])['worst_point']
+        m['saturation_by_level'] = sat
+        rows[f'cal_{name}'] = m
+        _print_row(f'cal_{name}', m)
+        print(f'    saturation: mean {m["sat_mean"]:.2e} '
+              f'max {m["sat_max"]:.2e} at {m["sat_worst_point"]}',
+              flush=True)
     return rows
 
 
@@ -184,6 +374,9 @@ def main():
     ap.add_argument('--out', type=str, default='/tmp/int8_qual')
     ap.add_argument('--skip_random', action='store_true')
     ap.add_argument('--skip_bf16', action='store_true')
+    ap.add_argument('--skip_diag', action='store_true',
+                    help='skip the calibration-mismatch sweep and '
+                         'per-level error budgets')
     args = ap.parse_args()
 
     from daft_exprt_tpu.models.hifigan import init_generator_params
@@ -232,6 +425,30 @@ def main():
     outs = chain_outputs(params, mel_eval, cal_mel=mel_cal,
                          skip_bf16=args.skip_bf16)
     results['trained'] = report(outs, loss_mel_fn)
+
+    if not args.skip_diag:
+        print('=== calibration-mismatch sweep (static scales) ===',
+              flush=True)
+        y_quiet = np.asarray(y_cal) * 0.25
+        rng_n = np.random.RandomState(77)
+        y_noise = (rng_n.randn(*np.asarray(y_cal).shape) * 0.1
+                   ).astype(np.float32)
+        cal_sets = {
+            'matched': mel_cal,
+            'quiet_0.25x': mel_fn(jnp.asarray(y_quiet)),
+            'noise': mel_fn(jnp.asarray(y_noise)),
+        }
+        results['calibration_sweep'] = mismatch_sweep(
+            params, mel_eval, outs['f32_xla'], cal_sets, loss_mel_fn)
+
+        print('=== per-level error budget (matched static scales) ===',
+              flush=True)
+        from daft_exprt_tpu.models.hifigan import calibrate_act_scales
+        budget = per_level_budget(params, mel_eval,
+                                  calibrate_act_scales(params, mel_cal))
+        for k, v in budget.items():
+            print(f'  {k}: rel-L2 {v:.4f}', flush=True)
+        results['per_level_rel_l2'] = budget
 
     with open(os.path.join(args.out, 'report.json'), 'w') as f:
         json.dump(results, f, indent=2)
