@@ -446,7 +446,13 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
     Q = x_p.shape[2]
-    eff = 4096
+    # int8 tiles run 2x larger: the s8 staging stack halves the VMEM cost
+    # per column and the decompose probe's ~25% fixed (DMA+loop) share
+    # amortizes — measured 5.85 vs 6.41 ms at the L3 probe shape
+    # (bench_int8_decompose --tile 8192; bf16 keeps 4096 — larger bf16
+    # tiles measured SLOWER in round 2). DAFT_PHASE_TILE overrides.
+    eff = int(os.environ.get('DAFT_PHASE_TILE', '') or
+              (8192 if int8 else 4096))
     while Q % eff != 0 and eff > 64:
         eff //= 2
     if Q % eff != 0:
@@ -550,8 +556,12 @@ def _pallas_mrf_tc(params, x_tc, level, cfg, tile, int8=False,
     B, T, C = x_tc.shape
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
-    eff_tile = tile
-    while eff_tile * C > (1 << 19) and eff_tile > 512:
+    # int8 tiles run 4x larger (s8 operands; fixed DMA/loop costs
+    # amortize): L1 9.45→8.46 ms, L0 4.61→4.26 (bench_tc_kernel
+    # --tile_tc). bf16 keeps the round-2 tile*C ≈ 512K rule.
+    cap = (1 << 21) if int8 else (1 << 19)
+    eff_tile = (tile * 4) if int8 else tile
+    while eff_tile * C > cap and eff_tile > 512:
         eff_tile //= 2
     if T % eff_tile != 0:
         eff_tile = min(eff_tile, T)
