@@ -747,13 +747,20 @@ def from_phase(y, p):
 
 
 def _phase_conv_spec(k, d, p):
-    """Static geometry of one dilated conv in phase-p layout."""
+    """Static geometry of one dilated conv in phase-p layout.
+
+    ``used``: the column C-blocks of the banded matrix that any output
+    row actually reads (row r's taps sit at blocks r + d*t) — for d > p
+    the dilation gaps leave (and for p-alignment edges all convs leave)
+    all-zero blocks that the compact staging mode neither stages nor
+    multiplies (~27% of staged blocks + dot K across the V1 chain)."""
     half = (k - 1) // 2
     dmin = (-(d * half)) // p          # floor; ≤ 0
     dmax = (p - 1 + d * half) // p
     j0 = -d * half - p * dmin          # ∈ [0, p): row offset into the stream
+    used = tuple(sorted({r + d * t for r in range(p) for t in range(k)}))
     return dict(half=half, dmin=dmin, dmax=dmax, W=dmax - dmin + 1, j0=j0,
-                kcols=p + d * (k - 1))
+                kcols=p + d * (k - 1), used=used)
 
 
 def phase_chain_halo(kernel_sizes, dilations, p):
@@ -904,10 +911,24 @@ def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
     return acc + b_ref[:]
 
 
-def _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref):
+def _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref, compact=False):
     """Stage the W int8 lane shifts of a pre-quantized phase tile and run
-    the banded s8 x s8 -> s32 matmul (no dequant)."""
+    the banded s8 x s8 -> s32 matmul (no dequant).
+
+    ``compact``: stage only the ``spec['used']`` C-blocks (one 32-row-
+    granule write per block, phase rp at column shift u) and contract the
+    column-gathered weight against them — skips the all-zero band blocks
+    (weights must be packed with the same gather)."""
     pc = p * C
+    if compact:
+        used = spec['used']
+        for m, jj in enumerate(used):
+            u, rp = divmod(spec['j0'] + jj, p)
+            stack8_ref[m * C:(m + 1) * C, 0:L_out] = \
+                q[rp * C:(rp + 1) * C, u:u + L_out]
+        operand = stack8_ref[0:len(used) * C, 0:L_out]
+        return jnp.dot(wd_ref[:], operand,
+                       preferred_element_type=jnp.int32)
     for u in range(spec['W']):
         stack8_ref[u * pc:(u + 1) * pc, 0:L_out] = q[:, u:u + L_out]
     row0 = spec['j0'] * C
@@ -935,7 +956,8 @@ def _phase_conv_q8(t_in, wd_ref, sw_ref, b_ref, spec, C, p, L_out,
 
 def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                             post_k=0, ups_w=0, ups_base=0, halo_in=0,
-                            q8=False, q8s=False, q8f=False, split=1):
+                            q8=False, q8s=False, q8f=False, split=1,
+                            compact=False):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
     HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
     [+ Wd_post, b_post when post_k] [+ Wb_ups, b_ups when ups_w] +
@@ -1040,9 +1062,11 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                      wd2, sw2, b2) = refs[ref_idx:ref_idx + 7]
                     ref_idx += 7
                     q_in = _quantize_lrelu_static(cur, inv1[:])
-                    acc1 = _phase_dot_q8(q_in, wd1, s1, C, p, L1, stk8)
+                    acc1 = _phase_dot_q8(q_in, wd1, s1, C, p, L1, stk8,
+                                         compact=compact)
                     q_mid = _requant_lrelu_s32(acc1, b1i[:], m1[:])
-                    a2 = (_phase_dot_q8(q_mid, wd2, s2, C, p, L2, stk8)
+                    a2 = (_phase_dot_q8(q_mid, wd2, s2, C, p, L2, stk8,
+                                        compact=compact)
                           .astype(jnp.float32) * sw2[:] + b2[:])
                 elif q8s:
                     (wd1, sw1, inv1, b1,
@@ -1153,11 +1177,23 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
 
     q8s = int8_chain and act_scales is not None
     q8f = q8s and int8_fused
+    compact = q8f and os.environ.get('DAFT_PHASE_COMPACT', '1') != '0'
     if q8f:
         # fused boundary (see _requant_lrelu_s32): per dilation
-        # [wd1q, inv1, b1_i32, mult1, wd2q, sw2, b2]
+        # [wd1q, inv1, b1_i32, mult1, wd2q, sw2, b2]. In compact mode the
+        # banded matrices keep only their structurally-used column blocks
+        # (gather mirrors the compact staging in _phase_dot_q8).
+        kd = [(k, d) for k, ds in zip(kernel_sizes, dilations) for d in ds]
+
+        def _gather(wq, spec):
+            if not compact:
+                return wq
+            cols = [wq[:, jj * C:(jj + 1) * C] for jj in spec['used']]
+            return jnp.concatenate(cols, axis=1)
+
         qw = []
         for j in range(0, len(weights), 4):
+            k_j, d_j = kd[j // 4]
             wd1, b1, wd2, b2 = weights[j:j + 4]
             wd1f, inv1 = fold_act_scales_band(wd1, act_scales[j // 2],
                                               C, p)
@@ -1166,8 +1202,10 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                                               C, p)
             wq2, sw2 = quantize_rows(wd2f)
             b1i, mult1 = _fuse_boundary_consts(sw1, b1, inv2)
-            qw += [wq1, inv1, b1i, mult1, wq2, sw2,
-                   b2.astype(jnp.float32)]
+            qw += [_gather(wq1, _phase_conv_spec(k_j, d_j, p)),
+                   inv1, b1i, mult1,
+                   _gather(wq2, _phase_conv_spec(k_j, 1, p)),
+                   sw2, b2.astype(jnp.float32)]
         weights = qw
     elif int8_chain:
         qw = []
@@ -1225,7 +1263,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         nb=nb, p=p, C=C, post_k=post_k, ups_w=ups_w, ups_base=ups_base,
         halo_in=halo_in, q8=int8_chain, q8s=q8s and not q8f, q8f=q8f,
-        split=split)
+        split=split, compact=compact)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:

@@ -302,6 +302,38 @@ def test_fused_mrf_ct_int8():
     assert rel < 0.06, rel
 
 
+def test_phase_int8_compact_staging_matches(monkeypatch):
+    """Compact staging (skip the banded form's all-zero column blocks)
+    is bit-identical to the full form: the removed blocks contribute
+    exact integer zeros to the s32 accumulator."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, pack_mrf_phase_weights)
+    rng = np.random.RandomState(21)
+    C, p, B, T = 32, 4, 1, 4096
+    ks, dils = (3, 11), ((1, 5), (1, 5))      # d=5 > p: gapped bands
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        params[f'resblock_0_{j}'] = {
+            f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, k)
+                                            .astype(np.float32) * .05),
+                           'b': jnp.asarray(rng.randn(C)
+                                            .astype(np.float32) * .01)}
+            for pre in ('convs1', 'convs2') for i in range(len(d))}
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    w = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    scales = [jnp.asarray(0.3 + rng.rand(C).astype(np.float32))
+              for _ in range(2 * sum(len(d) for d in dils))]
+    outs = {}
+    for flag in ('0', '1'):
+        monkeypatch.setenv('DAFT_PHASE_COMPACT', flag)
+        outs[flag] = np.asarray(fused_mrf_phase(
+            x, w, ks, dils, p, tile=512, int8_chain=True,
+            act_scales=scales, int8_fused=True, interpret=True))
+    assert np.array_equal(outs['0'], outs['1'])
+    assert np.isfinite(outs['1']).all()
+
+
 def test_fused_mrf_tc_int8_static():
     """tc-layout int8-static kernel (wide levels): dense FLOPs at the s8
     MXU rate with act scales folded into the input-channel weight axis —
