@@ -43,6 +43,8 @@ def main():
     ap.add_argument('--runs', type=int, default=5)
     ap.add_argument('--parity', action='store_true',
                     help='f32 XLA path instead of bf16+pallas')
+    ap.add_argument('--int8', action='store_true',
+                    help='int8-static serving tier (the bench.py default)')
     args = ap.parse_args()
 
     import jax
@@ -62,6 +64,8 @@ def main():
     voc_params = init_generator_params(jax.random.PRNGKey(2))
     voc_dtype = jnp.float32 if parity else jnp.bfloat16
     use_pallas = not parity
+    voc_int8 = args.int8 and not parity
+    voc_scales = None
 
     def acoustic_raw(params, b):
         return model.apply(
@@ -84,7 +88,8 @@ def main():
     def vocoder_only(voc_params, mel):
         vp = jax.tree_util.tree_map(lambda x: x.astype(voc_dtype), voc_params)
         wav = generator_forward(vp, mel.astype(voc_dtype),
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, int8=voc_int8,
+                                int8_act_scales=voc_scales)
         return jnp.sum(jnp.abs(wav.astype(jnp.float32)))
 
     @jax.jit
@@ -92,7 +97,8 @@ def main():
         mel = acoustic_raw(params, b)
         vp = jax.tree_util.tree_map(lambda x: x.astype(voc_dtype), voc_params)
         wav = generator_forward(vp, mel.astype(voc_dtype),
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, int8=voc_int8,
+                                int8_act_scales=voc_scales)
         return jnp.sum(jnp.abs(wav.astype(jnp.float32)))
 
     def perturb(b, i):
@@ -103,6 +109,9 @@ def main():
     batches = [perturb(batch, i + 1) for i in range(args.runs)]
     # device-resident mels for the vocoder-only leg (tunnel H2D is ~2-4 MB/s)
     mel0 = jax.jit(acoustic_raw)(params, batch)
+    if voc_int8:
+        from daft_exprt_tpu.models.hifigan import calibrate_act_scales
+        voc_scales = calibrate_act_scales(voc_params, mel0[:4])
     mels = [mel0 + jnp.float32(i * 1e-4) for i in range(args.runs)]
     for m in mels:
         m.block_until_ready()
