@@ -606,9 +606,6 @@ def _fused_mrf_tc_kernel(x_hbm, *refs, tile, halo, ks, dils, nb,
     o_ref[0, :, :] = (acc_out * (1.0 / nb)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
-                                             'tile', 'interpret', 'hoist',
-                                             'q8'))
 def fused_mrf_tc(x, weights, kernel_sizes, dilations, tile=4096,
                  interpret=False, hoist=None, q8=False):
     """Fused MRF resblock group, (B, T, C) layout — the wide-level twin of
@@ -619,9 +616,24 @@ def fused_mrf_tc(x, weights, kernel_sizes, dilations, tile=4096,
     Interior samples exact vs the per-conv reference; utterance edges
     collapse SAME padding across the chain like the other fused kernels.
     ``hoist`` (default: env DAFT_TC_HOIST, on) shares the first-dilation
-    lrelu sweep across blocks — bit-identical output either way."""
+    lrelu sweep across blocks — bit-identical output either way.
+
+    Env defaults resolve HERE, outside jit, so every setting is a static
+    jit arg with its own trace (an env read inside the traced body would
+    be silently excluded from the cache key — flipping the var mid-process
+    would hit the stale trace)."""
     if hoist is None:
         hoist = os.environ.get('DAFT_TC_HOIST', '1') != '0'
+    return _fused_mrf_tc_jit(x, weights, kernel_sizes, dilations,
+                             tile=tile, interpret=interpret,
+                             hoist=bool(hoist), q8=q8)
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
+                                             'tile', 'interpret', 'hoist',
+                                             'q8'))
+def _fused_mrf_tc_jit(x, weights, kernel_sizes, dilations, tile=4096,
+                      interpret=False, hoist=True, q8=False):
     B, T, C = x.shape
     nb = len(kernel_sizes)
     halo = max(resblock1_halo(k, d)
@@ -1117,17 +1129,11 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
             o_ref[0, :, si * h:(si + 1) * h] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
-                                             'p', 'tile', 'in_phase',
-                                             'out_phase', 'post_k',
-                                             'ups_w', 'ups_dmin',
-                                             'int8_chain', 'int8_fused',
-                                             'split', 'interpret'))
 def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                     in_phase=False, out_phase=False, post_weights=None,
                     post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
                     int8_chain=False, act_scales=None, int8_fused=True,
-                    split=1, interpret=False):
+                    split=1, compact=None, interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -1157,7 +1163,40 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
     adds, biases, lrelu, and the ups/post prologue/epilogue stay in
     f32/bf16. Expect ~1e-2 relative error on the level output (the
     fast-path quality budget, not the parity budget).
+
+    ``compact`` (default: env DAFT_PHASE_COMPACT, on) stages only the
+    structurally-used column C-blocks of each banded operand and
+    contracts column-gathered weights against them — the dilation gaps
+    (d > p) and p-alignment edges otherwise leave ~27% of staged blocks
+    all-zero across the V1 chain. Bit-identical on the int8 paths (s32
+    adds of exact zeros); on the bf16 path the MXU regroups partial sums
+    (~1e-7 rel). The env default resolves HERE, outside jit, so the
+    setting is part of the jit cache key (an env read inside the traced
+    body would silently pin the first value seen).
     """
+    if compact is None:
+        compact = os.environ.get('DAFT_PHASE_COMPACT', '1') != '0'
+    return _fused_mrf_phase_jit(
+        x, weights, kernel_sizes, dilations, p, tile=tile,
+        in_phase=in_phase, out_phase=out_phase, post_weights=post_weights,
+        post_k=post_k, ups_weights=ups_weights, ups_w=ups_w,
+        ups_dmin=ups_dmin, int8_chain=int8_chain, act_scales=act_scales,
+        int8_fused=int8_fused, split=split, compact=bool(compact),
+        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
+                                             'p', 'tile', 'in_phase',
+                                             'out_phase', 'post_k',
+                                             'ups_w', 'ups_dmin',
+                                             'int8_chain', 'int8_fused',
+                                             'split', 'compact',
+                                             'interpret'))
+def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
+                         in_phase=False, out_phase=False, post_weights=None,
+                         post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
+                         int8_chain=False, act_scales=None, int8_fused=True,
+                         split=1, compact=True, interpret=False):
     if in_phase:
         B, PC, Tq = x.shape
         C = PC // p
@@ -1177,7 +1216,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
 
     q8s = int8_chain and act_scales is not None
     q8f = q8s and int8_fused
-    compact = q8f and os.environ.get('DAFT_PHASE_COMPACT', '1') != '0'
+    compact = q8f and compact
     if q8f:
         # fused boundary (see _requant_lrelu_s32): per dilation
         # [wd1q, inv1, b1_i32, mult1, wd2q, sw2, b2]. In compact mode the

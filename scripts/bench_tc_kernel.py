@@ -42,8 +42,14 @@ B = args.batch
 dt = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
 ks = (3, 7, 11)
 dils = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+_sel_kinds = [k.strip() for k in args.kinds.split(',')] if args.kinds else []
+_int8_sel = any('int8' in k for k in _sel_kinds)
 tile_ct = args.tile_ct or max(512, (1 << 19) // C)
-tile_tc = args.tile_tc or max(512, (1 << 19) // C)
+# int8 kinds default to the production tile rule (4x with the 2^21 cap,
+# mirroring hifigan._pallas_mrf_tc) — the bf16 rule understates the
+# documented int8 numbers by ~10%
+tile_tc = args.tile_tc or max(512, ((1 << 21) if _int8_sel
+                                    else (1 << 19)) // C)
 
 rng = np.random.RandomState(0)
 params = {}
@@ -154,8 +160,7 @@ kinds = {'ct-pertap': (run_ct, 'ct'), 'tc': (run_tc, 'tc'),
          'tc+transpose-io': (run_tc_transposed_io, 'ct'),
          'xla': (run_xla, 'ct'),
          'tc-int8': (run_tc_int8, 'tc'), 'ct-int8': (run_ct_int8, 'ct')}
-sel = [k.strip() for k in args.kinds.split(',')] if args.kinds else \
-    ['ct-pertap', 'tc', 'tc+transpose-io', 'xla']
+sel = _sel_kinds or ['ct-pertap', 'tc', 'tc+transpose-io', 'xla']
 ACT_SCALES = _chain_act_scales() if any('int8' in k for k in sel) else None
 r = {}
 for name in sel:

@@ -302,10 +302,12 @@ def test_fused_mrf_ct_int8():
     assert rel < 0.06, rel
 
 
-def test_phase_int8_compact_staging_matches(monkeypatch):
+def test_phase_int8_compact_staging_matches():
     """Compact staging (skip the banded form's all-zero column blocks)
     is bit-identical to the full form: the removed blocks contribute
-    exact integer zeros to the s32 accumulator."""
+    exact integer zeros to the s32 accumulator. ``compact`` is passed as
+    an explicit static jit arg (not via env) so each setting genuinely
+    retraces — an env flip would not re-key the jit cache."""
     import jax.numpy as jnp
     from daft_exprt_tpu.ops.vocoder_kernels import (
         fused_mrf_phase, pack_mrf_phase_weights)
@@ -325,13 +327,13 @@ def test_phase_int8_compact_staging_matches(monkeypatch):
     scales = [jnp.asarray(0.3 + rng.rand(C).astype(np.float32))
               for _ in range(2 * sum(len(d) for d in dils))]
     outs = {}
-    for flag in ('0', '1'):
-        monkeypatch.setenv('DAFT_PHASE_COMPACT', flag)
+    for flag in (False, True):
         outs[flag] = np.asarray(fused_mrf_phase(
             x, w, ks, dils, p, tile=512, int8_chain=True,
-            act_scales=scales, int8_fused=True, interpret=True))
-    assert np.array_equal(outs['0'], outs['1'])
-    assert np.isfinite(outs['1']).all()
+            act_scales=scales, int8_fused=True, compact=flag,
+            interpret=True))
+    assert np.array_equal(outs[False], outs[True])
+    assert np.isfinite(outs[True]).all()
 
 
 def test_fused_mrf_tc_int8_static():
