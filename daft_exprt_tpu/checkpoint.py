@@ -217,14 +217,34 @@ def jax_tree_cast(tree):
     return traverse_util.unflatten_dict(flat)
 
 
+def torch_load_guarded(path):
+    """torch.load with the repo-wide unpickling policy: try
+    ``weights_only=True`` first (tensor-dict checkpoints never need full
+    pickle deserialization, so a fetched artifact cannot execute code at
+    load time); fall back to full unpickling only when the caller opts in
+    with ``DAFT_TORCH_LOAD_UNSAFE=1`` — reserved for local trusted files.
+    Shared by every torch-checkpoint loader (models/hifigan.py, the .pt
+    converters here, scripts/visualize_pitch_prediction.py)."""
+    import torch
+    try:
+        return torch.load(path, map_location='cpu', weights_only=True)
+    except Exception:
+        if os.environ.get('DAFT_TORCH_LOAD_UNSAFE', '0') != '1':
+            raise RuntimeError(
+                f'{path} is not loadable with torch.load(weights_only='
+                'True) (it pickles non-tensor objects). Refusing to '
+                'unpickle an untrusted checkpoint; set '
+                'DAFT_TORCH_LOAD_UNSAFE=1 only for local files you trust.')
+        return torch.load(path, map_location='cpu', weights_only=False)
+
+
 def load_torch_checkpoint(path):
     """Load a reference .pt checkpoint (torch CPU) and convert it.
 
     Returns (flax_params, config_params, meta) where meta carries
     iteration/learning_rate/best_val_loss when present.
     """
-    import torch
-    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    ckpt = torch_load_guarded(path)
     if isinstance(ckpt, dict) and 'state_dict' in ckpt:
         sd = ckpt['state_dict']
         config_params = ckpt.get('config_params', {})

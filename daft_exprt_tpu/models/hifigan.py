@@ -827,23 +827,11 @@ class HiFiGanVocoder:
 def load_torch_generator(path, config=None):
     """Load a torch HiFi-GAN generator checkpoint and convert it.
 
-    Loads with ``weights_only=True`` (the generator checkpoints are plain
-    tensor dicts, so full pickle deserialization is never needed); this
-    keeps a network-fetched artifact from executing arbitrary code at load
-    time. A checkpoint that genuinely needs full unpickling must be opted
-    into with ``DAFT_TORCH_LOAD_UNSAFE=1`` — reserved for local, trusted
-    files only."""
-    import torch
-    try:
-        ckpt = torch.load(path, map_location='cpu', weights_only=True)
-    except Exception:
-        if os.environ.get('DAFT_TORCH_LOAD_UNSAFE', '0') != '1':
-            raise RuntimeError(
-                f'{path} is not loadable with torch.load(weights_only=True) '
-                '(it pickles non-tensor objects). Refusing to unpickle an '
-                'untrusted checkpoint; set DAFT_TORCH_LOAD_UNSAFE=1 only '
-                'for local files you trust.')
-        ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    Uses the repo-wide guarded loader (checkpoint.torch_load_guarded):
+    ``weights_only=True`` first, full unpickling only behind
+    ``DAFT_TORCH_LOAD_UNSAFE=1`` for local trusted files."""
+    from daft_exprt_tpu.checkpoint import torch_load_guarded
+    ckpt = torch_load_guarded(path)
     sd = ckpt.get('generator', ckpt.get('state_dict', ckpt)) \
         if isinstance(ckpt, dict) else ckpt
     sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}

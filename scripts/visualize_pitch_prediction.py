@@ -20,9 +20,7 @@ def main(args):
 
     model = PitchPredictor(n_mel_channels=args.n_mel_channels)
     if args.checkpoint.endswith('.pt'):
-        import torch
-        sd = torch.load(args.checkpoint, map_location='cpu',
-                        weights_only=False)
+        sd = ckpt.torch_load_guarded(args.checkpoint)
         sd = {k: v.detach().numpy() for k, v in sd.items()}
         params, batch_stats = ckpt.convert_torch_pitch_predictor(sd)
         variables = {'params': params, 'batch_stats': batch_stats}
