@@ -363,6 +363,71 @@ def mismatch_sweep(params, mel_eval, f32_ref, cal_sets, loss_mel_fn,
     return rows
 
 
+# ----------------------------------------------------------------------
+# gate: asserted thresholds → explicit pass/fail verdict in the artifact
+# ----------------------------------------------------------------------
+
+# Trained-weights serving-quality budgets (r4 measured: int8-static wav
+# rel-L2 0.0064 / mel-L1 0.0075 / mrstft sc 0.0047; dynamic 0.0081 /
+# 0.0079 / 0.0053 — thresholds leave ~1.5-2x headroom over measured, so
+# a silent kernel/quantization regression trips the gate while run-to-run
+# training noise does not).
+GATE_THRESHOLDS = {
+    'int8_static_pallas': {'wav_rel_l2': 0.010, 'mel_l1': 0.010,
+                           'mrstft_sc': 0.010},
+    'int8_pallas': {'wav_rel_l2': 0.013, 'mel_l1': 0.013,
+                    'mrstft_sc': 0.013},
+}
+SAT_MATCHED_MAX = 1e-4        # matched-cal clipping rate (r4: 3.8e-6)
+LEVEL_FINAL_MAX = 0.010       # last-level boundary rel-L2 (r4: 0.0075)
+LEVEL_GROWTH_MAX = 3.0        # per-level error growth factor cap
+NOISE_DETECT_MIN = 0.05       # the noise-cal row must stay detectably bad
+
+
+def gate(results):
+    """Asserted pass/fail over the recorded metrics. Returns
+    (verdict, checks) where checks maps check-name → {'ok', 'value',
+    'limit'}; any False ⇒ verdict 'fail'. The checks encode the r4
+    VERDICT thresholds: trained-weights quality budgets per int8 tier,
+    matched-calibration saturation, a monotone per-level error budget,
+    and a liveness check that the calibration-mismatch detector still
+    detects (a broken metric would otherwise green-light anything)."""
+    checks = {}
+
+    def add(name, value, limit, ok=None):
+        checks[name] = {'value': value, 'limit': limit,
+                        'ok': bool(value <= limit) if ok is None else ok}
+
+    trained = results.get('trained', {})
+    for tier, lims in GATE_THRESHOLDS.items():
+        row = trained.get(tier)
+        if row is None:
+            continue
+        for metric, lim in lims.items():
+            add(f'trained/{tier}/{metric}', row[metric], lim)
+
+    sweep = results.get('calibration_sweep', {})
+    if 'cal_matched' in sweep:
+        add('cal_matched/sat_max', sweep['cal_matched']['sat_max'],
+            SAT_MATCHED_MAX)
+    if 'cal_noise' in sweep:
+        v = sweep['cal_noise']['wav_rel_l2']
+        add('cal_noise/detector_alive', v, NOISE_DETECT_MIN,
+            ok=v >= NOISE_DETECT_MIN)
+
+    budget = results.get('per_level_rel_l2', {})
+    if budget:
+        keys = sorted(budget)
+        add(f'per_level/{keys[-1]}', budget[keys[-1]], LEVEL_FINAL_MAX)
+        for a, b in zip(keys, keys[1:]):
+            if budget[a] > 1e-6:
+                add(f'per_level/{b}_growth', budget[b] / budget[a],
+                    LEVEL_GROWTH_MAX)
+
+    verdict = 'pass' if all(c['ok'] for c in checks.values()) else 'fail'
+    return verdict, checks
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--train_steps', type=int, default=300)
@@ -450,9 +515,21 @@ def main():
             print(f'  {k}: rel-L2 {v:.4f}', flush=True)
         results['per_level_rel_l2'] = budget
 
+    verdict, checks = gate(results)
+    results['gate'] = checks
+    results['verdict'] = verdict
+    print('=== gate ===', flush=True)
+    for name, c in sorted(checks.items()):
+        mark = 'ok  ' if c['ok'] else 'FAIL'
+        print(f'  [{mark}] {name}: {c["value"]:.3e} vs {c["limit"]:.3e}',
+              flush=True)
+    print(f'verdict: {verdict}', flush=True)
+
     with open(os.path.join(args.out, 'report.json'), 'w') as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results), flush=True)
+    if verdict != 'pass':
+        sys.exit(1)
 
 
 if __name__ == '__main__':
