@@ -43,6 +43,15 @@ def _free_port():
 
 
 def worker(pid):
+    # Pin this worker to its assigned cores BEFORE importing jax: every
+    # XLA/Eigen thread the process spawns inherits the affinity mask, so
+    # each host leg gets identical, disjoint CPU resources. Without this
+    # the 1-host leg's single process contends with itself across all
+    # cores differently than the 2-host leg's processes do, which produced
+    # a nonsensical super-linear "efficiency 2.06" scaling artifact.
+    cpuset = os.environ.get('REHEARSE_CPUSET', '')
+    if cpuset:
+        os.sched_setaffinity(0, {int(c) for c in cpuset.split(',')})
     if os.environ.get('REHEARSE_HANG_DEBUG'):
         import faulthandler
         faulthandler.dump_traceback_later(
@@ -131,7 +140,7 @@ def worker(pid):
     jax.distributed.shutdown()
 
 
-def parent(n_proc=None, timed_steps=0):
+def parent(n_proc=None, timed_steps=0, pin_cpus=False):
     n_proc = n_proc or N_PROC
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -140,9 +149,22 @@ def parent(n_proc=None, timed_steps=0):
     env['REHEARSE_TIMED_STEPS'] = str(timed_steps)
     env['XLA_FLAGS'] = (f'--xla_force_host_platform_device_count'
                         f'={DEV_PER_PROC}')
+    # per-worker CPU sets sized for the LARGEST leg (2 hosts), so the
+    # 1-host and 2-host timed legs see identical per-host resources —
+    # >100% "efficiency" is then impossible by construction
+    cores_per = max(1, len(os.sched_getaffinity(0)) // 2) if pin_cpus else 0
+
+    def _env_for(i):
+        if not pin_cpus:
+            return env
+        avail = sorted(os.sched_getaffinity(0))
+        cpuset = [avail[(i * cores_per + j) % len(avail)]
+                  for j in range(cores_per)]
+        return dict(env, REHEARSE_CPUSET=','.join(map(str, cpuset)))
+
     procs = [subprocess.Popen(
         [sys.executable, '-u', os.path.abspath(__file__), '--worker', str(i)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=_env_for(i), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(n_proc)]
     try:
         outs = [p.communicate(timeout=540)[0] for p in procs]
@@ -189,7 +211,7 @@ def scaling(out_path, timed_steps=20):
     real pod slice."""
     results = {}
     for n in (1, 2):
-        timings = parent(n_proc=n, timed_steps=timed_steps)
+        timings = parent(n_proc=n, timed_steps=timed_steps, pin_cpus=True)
         assert len(timings) == n, f'{n}-host run produced {timings}'
         per_host = {
             str(pid): dict(t, samples_per_s=t['steps'] * t['local_batch']
@@ -208,11 +230,20 @@ def scaling(out_path, timed_steps=20):
         }
     t1 = results['1_host']['global_samples_per_s']
     t2 = results['2_host']['global_samples_per_s']
-    results['scaling_efficiency_1_to_2_hosts'] = t2 / (2.0 * t1)
+    eff = t2 / (2.0 * t1)
+    results['scaling_efficiency_1_to_2_hosts'] = eff
+    results['cpu_pinning'] = (
+        f'each worker pinned to {max(1, len(os.sched_getaffinity(0)) // 2)}'
+        ' dedicated core(s) in BOTH legs (sched_setaffinity before jax '
+        'import), so per-host resources are identical across legs')
     results['caveat'] = (
         'virtual CPU mesh (no pod slice reachable): audits the multi-host '
         'machinery and throughput accounting, not ICI. The BASELINE >=85% '
         'audio-s/s scaling target is hardware-gated.')
+    # resource-comparable legs make super-linear scaling impossible; an
+    # efficiency outside this band means the accounting itself is broken
+    # (the r4 artifact's 2.06 came from unpinned thread-pool contention)
+    assert 0.0 < eff <= 1.05, f'implausible scaling efficiency {eff:.3f}'
     with open(out_path, 'w') as f:
         json.dump(results, f, indent=2, sort_keys=True)
     print(f'scaling artifact -> {out_path}: eff(1->2 hosts) = '
@@ -226,7 +257,7 @@ if __name__ == '__main__':
     ap.add_argument('--worker', type=int, default=None)
     ap.add_argument('--scaling', action='store_true')
     ap.add_argument('--out', type=str,
-                    default=os.path.join(REPO, 'MULTIHOST_SCALING_r04.json'))
+                    default=os.path.join(REPO, 'MULTIHOST_SCALING_r05.json'))
     ap.add_argument('--timed_steps', type=int, default=20)
     args = ap.parse_args()
     if args.worker is not None:
