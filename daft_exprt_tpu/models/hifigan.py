@@ -442,7 +442,7 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
     from daft_exprt_tpu.ops.vocoder_kernels import (
         conv_transpose1d_phase, fused_mrf_phase, pack_mrf_phase_weights,
         pack_post_phase_weights, pack_ups_phase_weights,
-        phase_post_feasible)
+        phase_post_feasible, ups_used_blocks)
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
     Q = x_p.shape[2]
@@ -475,7 +475,11 @@ def _pallas_mrf_phase(params, x_p, level, cfg, p, post=None, ups=None,
     if ups is not None:
         wb, bu, ups_w, ups_dmin = pack_ups_phase_weights(
             ups['w'], ups['b'], ups['stride'], ups['padding'], ups['p_in'])
-        kw = dict(ups_weights=(wb, bu), ups_w=ups_w, ups_dmin=ups_dmin)
+        kw = dict(ups_weights=(wb, bu), ups_w=ups_w, ups_dmin=ups_dmin,
+                  ups_p_in=ups['p_in'],
+                  ups_used=ups_used_blocks(ups['w'].shape[-1],
+                                           ups['stride'], ups['padding'],
+                                           ups['p_in']))
     post_k = post['w'].shape[-1] if post is not None else 0
     if post_k and phase_post_feasible(ks, dils, p, post_k, eff):
         post_weights = pack_post_phase_weights(post['w'], post['b'], p)

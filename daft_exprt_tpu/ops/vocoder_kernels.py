@@ -765,14 +765,41 @@ def _phase_conv_spec(k, d, p):
     row actually reads (row r's taps sit at blocks r + d*t) — for d > p
     the dilation gaps leave (and for p-alignment edges all convs leave)
     all-zero blocks that the compact staging mode neither stages nor
-    multiplies (~27% of staged blocks + dot K across the V1 chain)."""
+    multiplies (~27% of staged blocks + dot K across the V1 chain).
+
+    ``runs``: the ``used`` list grouped into maximal (slot, shift u,
+    phase-row rp, length) copy runs — consecutive jj with no phase-row
+    wraparound read consecutive C-blocks of the tile at the same lane
+    shift, so one staging write covers the whole run (d <= p convs
+    collapse from kcols single-block writes to ~kcols/p full-width
+    writes; the per-write fixed cost was ~a third of the int8 kernels'
+    staging share)."""
     half = (k - 1) // 2
     dmin = (-(d * half)) // p          # floor; ≤ 0
     dmax = (p - 1 + d * half) // p
     j0 = -d * half - p * dmin          # ∈ [0, p): row offset into the stream
     used = tuple(sorted({r + d * t for r in range(p) for t in range(k)}))
     return dict(half=half, dmin=dmin, dmax=dmax, W=dmax - dmin + 1, j0=j0,
-                kcols=p + d * (k - 1), used=used)
+                kcols=p + d * (k - 1), used=used,
+                runs=_stage_runs_of(used, j0, p))
+
+
+def _stage_runs_of(used, j0, p):
+    """Group a sorted ``used`` block list into maximal (slot, shift u,
+    phase-row rp, length) copy runs: consecutive block indices at the
+    same lane shift u read consecutive phase rows, so one staging write
+    covers the run."""
+    runs = []
+    i = 0
+    while i < len(used):
+        u, rp = divmod(j0 + used[i], p)
+        ln = 1
+        while (i + ln < len(used) and used[i + ln] == used[i] + ln
+               and rp + ln < p):
+            ln += 1
+        runs.append((i, u, rp, ln))
+        i += ln
+    return tuple(runs)
 
 
 def phase_chain_halo(kernel_sizes, dilations, p):
@@ -861,6 +888,16 @@ def _ups_phase_entries(k, stride, padding, p_in):
     return entries, dmin, dmax
 
 
+def ups_used_blocks(k, stride, padding, p_in):
+    """The C_in-column blocks of the fused-upsample banded matrix that any
+    entry actually writes — transposed-conv geometry leaves the rest
+    all-zero (e.g. the V1 L3 upsample uses 4 of 6), so compact staging
+    skips them. Block index = (d - dmin)*p_in + a, matching the
+    :func:`pack_ups_phase_weights` column order."""
+    entries, dmin, _ = _ups_phase_entries(k, stride, padding, p_in)
+    return tuple(sorted({(d - dmin) * p_in + a for _, _, a, d in entries}))
+
+
 def pack_ups_phase_weights(w, b, stride, padding, p_in, dtype=None):
     """ConvTranspose1d weights (torch (C_in, C_out, k)) → the banded
     phase matrix (po*C_out, W*p_in*C_in) + bias (po*C_out, 1) + static
@@ -906,15 +943,38 @@ def phase_post_feasible(kernel_sizes, dilations, p, post_k, tile):
     return True
 
 
-def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref):
+def _stage_compact(val, spec, C, L_out, stack_ref, base=0):
+    """Stage the ``spec['used']`` C-blocks of a phase tile through
+    ``stack_ref`` as run-merged writes (spec['runs']: consecutive used
+    blocks at one lane shift collapse into a single multi-block copy)
+    and return the gathered operand. Bytes staged = used blocks only;
+    write count ≈ used/p for the gap-free d <= p convs. ``base``: extra
+    static lane offset into ``val`` (the fused-ups prologue reads its
+    shifts at ups_base)."""
+    for (m, u, rp, ln) in spec['runs']:
+        stack_ref[m * C:(m + ln) * C, 0:L_out] = \
+            val[rp * C:(rp + ln) * C, base + u:base + u + L_out]
+    return stack_ref[0:len(spec['used']) * C, 0:L_out]
+
+
+def _phase_conv(t_in, wd_ref, b_ref, spec, C, p, L_out, stack_ref,
+                compact=False):
     """One dilated conv as a single banded matmul in phase-p layout.
 
     t_in: (p*C, len) activations (compute dtype). Builds the phase stream
     by staging W lane-shifted copies of t_in through ``stack_ref`` (Mosaic
     cannot concatenate lane-rotated values directly), then one
-    (p*C, kcols*C) @ (kcols*C, L_out) matmul.
+    (p*C, kcols*C) @ (kcols*C, L_out) matmul. ``compact``: stage/contract
+    only the structurally-used C-blocks against a column-gathered weight
+    (exact zeros removed from the f32 accumulation — equal up to MXU
+    partial-sum regrouping, ~1e-7 rel).
     """
     pc = p * C
+    if compact:
+        operand = _stage_compact(t_in, spec, C, L_out, stack_ref)
+        acc = jnp.dot(wd_ref[:], operand,
+                      preferred_element_type=jnp.float32)
+        return acc + b_ref[:]
     for u in range(spec['W']):
         stack_ref[u * pc:(u + 1) * pc, 0:L_out] = t_in[:, u:u + L_out]
     row0 = spec['j0'] * C
@@ -927,18 +987,14 @@ def _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref, compact=False):
     """Stage the W int8 lane shifts of a pre-quantized phase tile and run
     the banded s8 x s8 -> s32 matmul (no dequant).
 
-    ``compact``: stage only the ``spec['used']`` C-blocks (one 32-row-
-    granule write per block, phase rp at column shift u) and contract the
-    column-gathered weight against them — skips the all-zero band blocks
-    (weights must be packed with the same gather)."""
+    ``compact``: stage only the ``spec['used']`` C-blocks (run-merged
+    writes, see :func:`_stage_compact`) and contract the column-gathered
+    weight against them — skips the all-zero band blocks (weights must be
+    packed with the same gather). Bit-identical: the removed blocks
+    contribute exact integer zeros to the s32 accumulator."""
     pc = p * C
     if compact:
-        used = spec['used']
-        for m, jj in enumerate(used):
-            u, rp = divmod(spec['j0'] + jj, p)
-            stack8_ref[m * C:(m + 1) * C, 0:L_out] = \
-                q[rp * C:(rp + 1) * C, u:u + L_out]
-        operand = stack8_ref[0:len(used) * C, 0:L_out]
+        operand = _stage_compact(q, spec, C, L_out, stack8_ref)
         return jnp.dot(wd_ref[:], operand,
                        preferred_element_type=jnp.int32)
     for u in range(spec['W']):
@@ -949,27 +1005,29 @@ def _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref, compact=False):
 
 
 def _phase_conv_q8(t_in, wd_ref, sw_ref, b_ref, spec, C, p, L_out,
-                   stack8_ref, inv_s_ref=None):
+                   stack8_ref, inv_s_ref=None, compact=False):
     """int8 variant of :func:`_phase_conv`: quantize the f32 activation
     tile (per-tile dynamic scale, or static per-channel rows via
     ``inv_s_ref`` with the scales pre-folded into the weight columns),
     stage the W lane shifts as int8, one s8 x s8 -> s32 banded matmul,
     dequantize with the row scale (× act scale when dynamic) and add the
-    bias in f32."""
+    bias in f32. ``compact`` stays bit-identical even with the dynamic
+    per-tile scale — the amax is taken on ``t_in`` before staging."""
     if inv_s_ref is None:
         q, s_x = _quantize_dynamic(t_in)
         scale = sw_ref[:] * s_x
     else:
         q = _quantize_static(t_in, inv_s_ref[:])
         scale = sw_ref[:]
-    acc = _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref)
+    acc = _phase_dot_q8(q, wd_ref, spec, C, p, L_out, stack8_ref,
+                        compact=compact)
     return acc.astype(jnp.float32) * scale + b_ref[:]
 
 
 def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                             post_k=0, ups_w=0, ups_base=0, halo_in=0,
                             q8=False, q8s=False, q8f=False, split=1,
-                            compact=False):
+                            compact=False, ups_spec=None, ups_cin=0):
     """Phase-p MRF fusion. x_hbm: (B, p*C, Tq + 2*halo) phase layout in
     HBM; refs = per-(block, dilation) [Wd1, b1, Wd2, b2] ...
     [+ Wd_post, b_post when post_k] [+ Wb_ups, b_ups when ups_w] +
@@ -1036,19 +1094,29 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
         if q8:
             wb_ups, sw_ups, b_ups = refs[n_w + n_post:n_w + n_post + 3]
             qx, sx = _quantize_dynamic(xin_f)
-            for u in range(ups_w):
-                stack8_ref[u * pic:(u + 1) * pic, 0:L0] = \
-                    qx[:, ups_base + u: ups_base + u + L0]
-            x0 = (jnp.dot(wb_ups[:], stack8_ref[0:ups_w * pic, 0:L0],
+            if ups_spec is not None:
+                operand = _stage_compact(qx, ups_spec, ups_cin, L0,
+                                         stack8_ref, base=ups_base)
+            else:
+                for u in range(ups_w):
+                    stack8_ref[u * pic:(u + 1) * pic, 0:L0] = \
+                        qx[:, ups_base + u: ups_base + u + L0]
+                operand = stack8_ref[0:ups_w * pic, 0:L0]
+            x0 = (jnp.dot(wb_ups[:], operand,
                           preferred_element_type=jnp.int32)
                   .astype(jnp.float32) * (sw_ups[:] * sx) + b_ups[:])
         else:
             wb_ups, b_ups = refs[n_w + n_post:n_w + n_post + 2]
             xin = xin_f.astype(cdt)
-            for u in range(ups_w):
-                stack_ref[u * pic:(u + 1) * pic, 0:L0] = \
-                    xin[:, ups_base + u: ups_base + u + L0]
-            x0 = (jnp.dot(wb_ups[:], stack_ref[0:ups_w * pic, 0:L0],
+            if ups_spec is not None:
+                operand = _stage_compact(xin, ups_spec, ups_cin, L0,
+                                         stack_ref, base=ups_base)
+            else:
+                for u in range(ups_w):
+                    stack_ref[u * pic:(u + 1) * pic, 0:L0] = \
+                        xin[:, ups_base + u: ups_base + u + L0]
+                operand = stack_ref[0:ups_w * pic, 0:L0]
+            x0 = (jnp.dot(wb_ups[:], operand,
                           preferred_element_type=jnp.float32)
                   + b_ups[:]).astype(cdt)
     else:
@@ -1085,23 +1153,27 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
                      wd2, sw2, inv2, b2) = refs[ref_idx:ref_idx + 8]
                     ref_idx += 8
                     a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C,
-                                        p, L1, stk8, inv_s_ref=inv1)
+                                        p, L1, stk8, inv_s_ref=inv1,
+                                        compact=compact)
                     a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C,
-                                        p, L2, stk8, inv_s_ref=inv2)
+                                        p, L2, stk8, inv_s_ref=inv2,
+                                        compact=compact)
                 elif q8:
                     wd1, sw1, b1, wd2, sw2, b2 = refs[ref_idx:ref_idx + 6]
                     ref_idx += 6
                     a1 = _phase_conv_q8(_lrelu(cur), wd1, sw1, b1, s1, C,
-                                        p, L1, stk8)
+                                        p, L1, stk8, compact=compact)
                     a2 = _phase_conv_q8(_lrelu(a1), wd2, sw2, b2, s2, C,
-                                        p, L2, stk8)
+                                        p, L2, stk8, compact=compact)
                 else:
                     wd1, b1, wd2, b2 = refs[ref_idx:ref_idx + 4]
                     ref_idx += 4
                     t_in = _lrelu(cur).astype(cdt)
-                    a1 = _phase_conv(t_in, wd1, b1, s1, C, p, L1, stk)
+                    a1 = _phase_conv(t_in, wd1, b1, s1, C, p, L1, stk,
+                                     compact=compact)
                     t2 = _lrelu(a1).astype(cdt)
-                    a2 = _phase_conv(t2, wd2, b2, s2, C, p, L2, stk)
+                    a2 = _phase_conv(t2, wd2, b2, s2, C, p, L2, stk,
+                                     compact=compact)
                 shift = -s1['dmin'] - s2['dmin']
                 cur = cur[:, shift:shift + L2] + a2
                 cur_len = L2
@@ -1113,7 +1185,11 @@ def _fused_mrf_phase_kernel(x_hbm, *refs, tile, halo, ks, dils, nb, p, C,
         if post_k:
             wd_post, b_post = refs[n_w:n_w + 2]
             t_in = _lrelu(acc_out).astype(cdt)
-            y = _phase_conv(t_in, wd_post, b_post, sp, C, p, w_out, stk)
+            # d=1 ⇒ used == range(kcols): the column gather is the
+            # identity, so compact staging works against the ungathered
+            # post weights (it only batches the writes into runs)
+            y = _phase_conv(t_in, wd_post, b_post, sp, C, p, w_out, stk,
+                            compact=compact)
             return jnp.tanh(y)
         return acc_out
 
@@ -1133,7 +1209,8 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                     in_phase=False, out_phase=False, post_weights=None,
                     post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
                     int8_chain=False, act_scales=None, int8_fused=True,
-                    split=1, compact=None, interpret=False):
+                    split=1, compact=None, ups_used=(), ups_p_in=0,
+                    interpret=False):
     """Fused MRF resblock group in phase-p layout.
 
     x: (B, C, T) standard layout, or (B, p*C, T/p) when ``in_phase`` (the
@@ -1182,7 +1259,7 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
         post_k=post_k, ups_weights=ups_weights, ups_w=ups_w,
         ups_dmin=ups_dmin, int8_chain=int8_chain, act_scales=act_scales,
         int8_fused=int8_fused, split=split, compact=bool(compact),
-        interpret=interpret)
+        ups_used=tuple(ups_used), ups_p_in=ups_p_in, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
@@ -1191,12 +1268,14 @@ def fused_mrf_phase(x, weights, kernel_sizes, dilations, p, tile=2048,
                                              'ups_w', 'ups_dmin',
                                              'int8_chain', 'int8_fused',
                                              'split', 'compact',
+                                             'ups_used', 'ups_p_in',
                                              'interpret'))
 def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
                          in_phase=False, out_phase=False, post_weights=None,
                          post_k=0, ups_weights=None, ups_w=0, ups_dmin=0,
                          int8_chain=False, act_scales=None, int8_fused=True,
-                         split=1, compact=True, interpret=False):
+                         split=1, compact=True, ups_used=(), ups_p_in=0,
+                         interpret=False):
     if in_phase:
         B, PC, Tq = x.shape
         C = PC // p
@@ -1216,23 +1295,29 @@ def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
 
     q8s = int8_chain and act_scales is not None
     q8f = q8s and int8_fused
-    compact = q8f and compact
+    # compact staging applies to every chain mode: the banded matrices
+    # keep only their structurally-used column blocks (the gather mirrors
+    # the run-merged compact staging in _stage_compact). Bit-identical on
+    # the int8 paths; ~1e-7 MXU partial-sum regrouping on bf16.
+    kd = [(k, d) for k, ds in zip(kernel_sizes, dilations) for d in ds]
+
+    def _gather(wd, spec):
+        if not compact:
+            return wd
+        cols = [wd[:, jj * C:(jj + 1) * C] for jj in spec['used']]
+        return jnp.concatenate(cols, axis=1)
+
+    def _pair_spec(pair):
+        """Spec of the ``pair``-th conv in pack order (conv1, conv2 per
+        (block, dilation))."""
+        k_j, d_j = kd[pair // 2]
+        return _phase_conv_spec(k_j, d_j if pair % 2 == 0 else 1, p)
+
     if q8f:
         # fused boundary (see _requant_lrelu_s32): per dilation
-        # [wd1q, inv1, b1_i32, mult1, wd2q, sw2, b2]. In compact mode the
-        # banded matrices keep only their structurally-used column blocks
-        # (gather mirrors the compact staging in _phase_dot_q8).
-        kd = [(k, d) for k, ds in zip(kernel_sizes, dilations) for d in ds]
-
-        def _gather(wq, spec):
-            if not compact:
-                return wq
-            cols = [wq[:, jj * C:(jj + 1) * C] for jj in spec['used']]
-            return jnp.concatenate(cols, axis=1)
-
+        # [wd1q, inv1, b1_i32, mult1, wd2q, sw2, b2]
         qw = []
         for j in range(0, len(weights), 4):
-            k_j, d_j = kd[j // 4]
             wd1, b1, wd2, b2 = weights[j:j + 4]
             wd1f, inv1 = fold_act_scales_band(wd1, act_scales[j // 2],
                                               C, p)
@@ -1241,9 +1326,9 @@ def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
                                               C, p)
             wq2, sw2 = quantize_rows(wd2f)
             b1i, mult1 = _fuse_boundary_consts(sw1, b1, inv2)
-            qw += [_gather(wq1, _phase_conv_spec(k_j, d_j, p)),
+            qw += [_gather(wq1, _pair_spec(j // 2)),
                    inv1, b1i, mult1,
-                   _gather(wq2, _phase_conv_spec(k_j, 1, p)),
+                   _gather(wq2, _pair_spec(j // 2 + 1)),
                    sw2, b2.astype(jnp.float32)]
         weights = qw
     elif int8_chain:
@@ -1254,11 +1339,14 @@ def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
                 wd, inv_s = fold_act_scales_band(wd, act_scales[i // 2],
                                                  C, p)
             wq, sw = quantize_rows(wd)
-            qw += [wq, sw]
+            qw += [_gather(wq, _pair_spec(i // 2)), sw]
             if q8s:
                 qw.append(inv_s)
             qw.append(weights[i + 1].astype(jnp.float32))
         weights = qw
+    else:
+        weights = [_gather(w, _pair_spec(i // 2)) if i % 2 == 0 else w
+                   for i, w in enumerate(weights)]
 
     if post_k:
         if not phase_post_feasible(kernel_sizes, dilations, p, post_k, tile):
@@ -1273,6 +1361,7 @@ def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
 
     halo_in = halo
     ups_base = 0
+    ups_spec, ups_cin = None, 0
     if ups_w:
         wb_ups, b_ups = ups_weights
         if wb_ups.shape[0] != p * C:
@@ -1282,6 +1371,18 @@ def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
         ups_dmax = ups_dmin + ups_w - 1
         halo_in = -(-max(halo - ups_dmin, halo + ups_dmax) // 128) * 128
         ups_base = halo_in - halo + ups_dmin
+        if compact and ups_used and ups_p_in:
+            # gather the used C_in column blocks of the ups banded matrix
+            # (transposed-conv geometry leaves the rest all-zero) and
+            # stage only those, run-merged — same construction as the
+            # chain convs with p → p_in, j0 → 0
+            ups_cin = (p * C) // ups_p_in
+            wb_ups = jnp.concatenate(
+                [wb_ups[:, jj * ups_cin:(jj + 1) * ups_cin]
+                 for jj in ups_used], axis=1)
+            ups_spec = dict(used=tuple(ups_used),
+                            runs=_stage_runs_of(tuple(ups_used), 0,
+                                                ups_p_in))
         if int8_chain:
             wbq, sw_ups = quantize_rows(wb_ups)
             weights = list(weights) + [wbq, sw_ups,
@@ -1302,7 +1403,7 @@ def _fused_mrf_phase_jit(x, weights, kernel_sizes, dilations, p, tile=2048,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         nb=nb, p=p, C=C, post_k=post_k, ups_w=ups_w, ups_base=ups_base,
         halo_in=halo_in, q8=int8_chain, q8s=q8s and not q8f, q8f=q8f,
-        split=split, compact=compact)
+        split=split, compact=compact, ups_spec=ups_spec, ups_cin=ups_cin)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:

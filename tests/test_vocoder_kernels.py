@@ -302,12 +302,15 @@ def test_fused_mrf_ct_int8():
     assert rel < 0.06, rel
 
 
-def test_phase_int8_compact_staging_matches():
-    """Compact staging (skip the banded form's all-zero column blocks)
-    is bit-identical to the full form: the removed blocks contribute
-    exact integer zeros to the s32 accumulator. ``compact`` is passed as
-    an explicit static jit arg (not via env) so each setting genuinely
-    retraces — an env flip would not re-key the jit cache."""
+def test_phase_compact_staging_matches():
+    """Compact staging (skip the banded form's all-zero column blocks,
+    run-merged writes) vs the full form, on every chain mode:
+    bit-identical for int8-static-fused and dynamic int8 (the removed
+    blocks contribute exact integer zeros to the s32 accumulator; the
+    dynamic per-tile amax precedes staging), and ~1e-7 partial-sum
+    regrouping on bf16/f32. ``compact`` is passed as an explicit static
+    jit arg (not via env) so each setting genuinely retraces — an env
+    flip would not re-key the jit cache."""
     import jax.numpy as jnp
     from daft_exprt_tpu.ops.vocoder_kernels import (
         fused_mrf_phase, pack_mrf_phase_weights)
@@ -326,14 +329,21 @@ def test_phase_int8_compact_staging_matches():
     w = pack_mrf_phase_weights(params, 0, ks, dils, p)
     scales = [jnp.asarray(0.3 + rng.rand(C).astype(np.float32))
               for _ in range(2 * sum(len(d) for d in dils))]
-    outs = {}
-    for flag in (False, True):
-        outs[flag] = np.asarray(fused_mrf_phase(
-            x, w, ks, dils, p, tile=512, int8_chain=True,
-            act_scales=scales, int8_fused=True, compact=flag,
-            interpret=True))
-    assert np.array_equal(outs[False], outs[True])
-    assert np.isfinite(outs[True]).all()
+
+    def run(compact, **kw):
+        return np.asarray(fused_mrf_phase(
+            x, w, ks, dils, p, tile=512, compact=compact,
+            interpret=True, **kw))
+
+    q8f = {'int8_chain': True, 'act_scales': scales, 'int8_fused': True}
+    assert np.array_equal(run(False, **q8f), run(True, **q8f))
+    dyn = {'int8_chain': True}
+    assert np.array_equal(run(False, **dyn), run(True, **dyn))
+    full, comp = run(False), run(True)
+    rel = (np.linalg.norm(comp - full)
+           / (np.linalg.norm(full) + 1e-30))
+    assert rel < 1e-6, rel
+    assert np.isfinite(comp).all()
 
 
 def test_fused_mrf_tc_int8_static():
