@@ -17,6 +17,49 @@ import time
 import numpy as np
 
 
+KERNEL_PATHS = ('daft_exprt_tpu/ops', 'daft_exprt_tpu/models/hifigan.py')
+
+
+def numerics_gate_status():
+    """Freshness of the newest NUMERICS artifact vs HEAD's kernel history.
+
+    The on-TPU numerics gate (scripts/tpu_check.py) stamps the commit it
+    certified; if any kernel-affecting commit (ops/ or the vocoder
+    routing) landed after it, the headline this script prints is not
+    covered by a gate — report that IN the bench output so a stale gate
+    can never hide behind a green-looking number (the r4 gate predated
+    the kernels behind the r4 headline)."""
+    import glob
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    arts = glob.glob(os.path.join(repo, 'NUMERICS*.json'))
+    if not arts:
+        return 'missing'
+    newest = max(arts, key=os.path.getmtime)
+    try:
+        with open(newest) as f:
+            art = json.load(f)
+    except Exception:
+        return f'unreadable({os.path.basename(newest)})'
+    if not art.get('all_pass', False):
+        return f'FAILING({os.path.basename(newest)})'
+    commit = art.get('commit')
+    if not commit:
+        return f'unversioned({os.path.basename(newest)})'
+    try:
+        log = subprocess.run(
+            ['git', 'log', '--oneline', f'{commit}..HEAD', '--']
+            + list(KERNEL_PATHS),
+            cwd=repo, capture_output=True, text=True, check=True
+        ).stdout.strip()
+    except Exception:
+        return f'unknown(git unavailable; {os.path.basename(newest)})'
+    if log:
+        n = len(log.splitlines())
+        return f'STALE({n} kernel commits since {commit[:8]})'
+    return f'fresh({commit[:8]})'
+
+
 def main():
     import jax
     from __graft_entry__ import _full_size_model, _make_batch
@@ -218,12 +261,18 @@ def main():
         print(f'# chain={CHAIN} device_ms_per_batch={ms_per_iter:.2f}',
               file=sys.stderr)
 
+    gate = numerics_gate_status()
     print(json.dumps({
         'metric': 'synthesized_audio_seconds_per_second',
         'value': round(value, 2),
         'unit': 'audio-s/s',
         'vs_baseline': round(value, 2),
+        'numerics_gate': gate,
     }))
+    if not gate.startswith('fresh'):
+        print(f'# WARNING: numerics gate is {gate} — re-run '
+              f'scripts/tpu_check.py at HEAD before headlining this '
+              f'number', file=sys.stderr)
     mode = ('f32-xla' if parity else
             'bf16-xla-fallback' if fell_back else
             ('int8' if voc_int8 else 'bf16') + '-pallas')

@@ -159,6 +159,48 @@ def check_attention(results):
     print(f'  attn fwd {fwd_err:.2e} bwd {bwd_err:.2e}', flush=True)
 
 
+def check_compact(results):
+    """Compiled (not interpret) compact-vs-full staging agreement at a
+    gapped-band shape: bit-identity on the int8-static path (the removed
+    blocks are exact integer zeros), rel-L2 band on bf16 (MXU partial-sum
+    regrouping only). Guards exactly the class of change a staging/tile
+    edit can break on the real compiler."""
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, pack_mrf_phase_weights)
+    rng = np.random.RandomState(5)
+    C, p, B, T = 32, 4, 1, 8192
+    ks, dils = (3, 11), ((1, 5), (1, 5))      # d=5 > p: gapped bands
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        params[f'resblock_0_{j}'] = {
+            f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, k)
+                                            .astype(np.float32) * .05),
+                           'b': jnp.asarray(rng.randn(C)
+                                            .astype(np.float32) * .01)}
+            for pre in ('convs1', 'convs2') for i in range(len(d))}
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    w = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    scales = [jnp.asarray(0.3 + rng.rand(C).astype(np.float32))
+              for _ in range(2 * sum(len(d) for d in dils))]
+    print('compact-vs-full staging, compiled (compiling ~2x2 min)...',
+          flush=True)
+    outs = {}
+    for flag in (False, True):
+        outs[flag] = {
+            'i8': np.asarray(fused_mrf_phase(
+                x, w, ks, dils, p, tile=1024, int8_chain=True,
+                act_scales=scales, int8_fused=True, compact=flag)),
+            'bf': np.asarray(fused_mrf_phase(
+                x, w, ks, dils, p, tile=1024, compact=flag), np.float64)}
+    bit_ok = bool(np.array_equal(outs[False]['i8'], outs[True]['i8']))
+    rel = float(np.linalg.norm(outs[True]['bf'] - outs[False]['bf'])
+                / (np.linalg.norm(outs[False]['bf']) + 1e-30))
+    results['compact_int8_bit_identity'] = {'equal': bit_ok, 'pass': bit_ok}
+    results['compact_bf16_vs_full'] = {'rel_l2': rel, 'tol': 1e-5,
+                                       'pass': rel < 1e-5}
+    print(f'  int8 bit-identical: {bit_ok}; bf16 rel {rel:.2e}', flush=True)
+
+
 def check_train_step(results):
     print('train step (compiling)...', flush=True)
     import subprocess
@@ -215,13 +257,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', type=str, default='NUMERICS.json')
     ap.add_argument('--skip', type=str, default='',
-                    help='comma list: vocoder,tc,attention,train')
+                    help='comma list: vocoder,tc,attention,train,compact')
     args = ap.parse_args()
     skip = set(args.skip.split(',')) if args.skip else set()
 
     dev = jax.devices()[0]
     print('device:', dev, flush=True)
-    results = {'device': str(dev), 'timestamp': time.strftime('%F %T')}
+    # Stamp the exact source state the gate certifies: bench.py compares
+    # this commit against HEAD's kernel-affecting history and flags a
+    # stale gate in its own output (the r4 gate predated the shipped
+    # kernels — this makes that unrepeatable).
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(['git', 'rev-parse', 'HEAD'], cwd=repo,
+                                capture_output=True, text=True,
+                                check=True).stdout.strip()
+        dirty = bool(subprocess.run(['git', 'status', '--porcelain'],
+                                    cwd=repo, capture_output=True,
+                                    text=True).stdout.strip())
+    except Exception:
+        commit, dirty = None, None
+    results = {'device': str(dev), 'timestamp': time.strftime('%F %T'),
+               'commit': commit, 'dirty_tree': dirty}
     t0 = time.time()
     checks = {}
     # skipped checks keep their entries from an existing artifact so a
@@ -232,6 +290,8 @@ def main():
             checks.update(json.load(f).get('checks', {}))
     if 'tc' not in skip:
         check_tc_kernel(checks)
+    if 'compact' not in skip:
+        check_compact(checks)
     if 'attention' not in skip:
         check_attention(checks)
     if 'train' not in skip:
