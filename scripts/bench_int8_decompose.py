@@ -8,7 +8,9 @@ probe runs stripped kernel VARIANTS of the production chain structure at
 the L3/L2 shapes — each deletes one cost component while keeping the rest
 byte-identical (wrong numerics, right traffic):
 
-  full       the production-equivalent chain (quantized staging + dots +
+  compact    the round-5 production path: run-merged compact staging of
+             the used C-blocks against column-gathered weights
+  full       the pre-compact chain (full-width staging + banded dots +
              requant + f32 residual)
   nostage    stage each conv input ONCE at full width, all dots read the
              same stack rows (deletes ~SigmaW re-staging copies)
@@ -61,6 +63,14 @@ def _probe_kernel(x_hbm, *refs, tile, halo, p, C, variant):
     x0 = x_scratch[:]
 
     def dot_q8(q, wd_ref, spec, L_out, stage=True):
+        if variant == 'compact':
+            # the round-5 production path: run-merged compact staging
+            # against column-gathered weights (weights are gathered by
+            # the compact packer in main())
+            from daft_exprt_tpu.ops.vocoder_kernels import _stage_compact
+            operand = _stage_compact(q, spec, C, L_out, stack8)
+            return jnp.dot(wd_ref[:], operand,
+                           preferred_element_type=jnp.int32)
         if stage:
             for u in range(spec['W']):
                 stack8[u * pc:(u + 1) * pc, 0:L_out] = q[:, u:u + L_out]
@@ -156,7 +166,8 @@ def main():
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--tile', type=int, default=4096)
     ap.add_argument('--reps', type=int, default=20)
-    ap.add_argument('--variants', default='full,nostage,nodots,noelem')
+    ap.add_argument('--variants',
+                default='compact,full,nostage,nodots,noelem')
     args = ap.parse_args()
     B, C, T = args.batch, args.C, args.T
     p = 128 // C
@@ -174,8 +185,15 @@ def main():
     raw = pack_mrf_phase_weights(params, 0, KS, DILS, p)
     scales = [jnp.asarray(0.5 + rng.rand(C).astype(np.float32))
               for _ in range(2 * sum(len(d) for d in DILS))]
-    weights = []
+    kd = [(k, d) for k, ds in zip(KS, DILS) for d in ds]
+
+    def gather(wq, spec):
+        return jnp.concatenate(
+            [wq[:, jj * C:(jj + 1) * C] for jj in spec['used']], axis=1)
+
+    weights, weights_c = [], []
     for j in range(0, len(raw), 4):
+        k_j, d_j = kd[j // 4]
         wd1, b1, wd2, b2 = raw[j:j + 4]
         wd1f, inv1 = fold_act_scales_band(wd1, scales[j // 2], C, p)
         wq1, sw1 = quantize_rows(wd1f)
@@ -183,6 +201,10 @@ def main():
         wq2, sw2 = quantize_rows(wd2f)
         b1i, m1 = _fuse_boundary_consts(sw1, b1, inv2)
         weights += [wq1, inv1, b1i, m1, wq2, sw2, b2.astype(jnp.float32)]
+        weights_c += [gather(wq1, _phase_conv_spec(k_j, d_j, p)),
+                      inv1, b1i, m1,
+                      gather(wq2, _phase_conv_spec(k_j, 1, p)),
+                      sw2, b2.astype(jnp.float32)]
 
     x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
     xp = to_phase(x, p)
@@ -191,8 +213,9 @@ def main():
         tile //= 2
 
     for variant in args.variants.split(','):
+        w_sel = weights_c if variant == 'compact' else weights
         t0 = time.time()
-        out = probe(xp, weights, p, tile, variant)
+        out = probe(xp, w_sel, p, tile, variant)
         float(jnp.sum(out))
         print(f'{variant}: compiled+first in {time.time() - t0:.1f}s',
               flush=True)
@@ -200,7 +223,7 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(args.reps):
-                out = probe(xp, weights, p, tile, variant)
+                out = probe(xp, w_sel, p, tile, variant)
             float(jnp.sum(out))
             ts.append((time.perf_counter() - t0) / args.reps)
         print(f'{variant}: {min(ts) * 1e3:.2f} ms  (all {[f"{t*1e3:.2f}" for t in ts]})',
