@@ -334,8 +334,41 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
             if _tap is not None:
                 _tap(i, x, cur_p, cur_tc)
             continue
+        # narrow levels under int8-static: the phase-tc kernel — p phases
+        # x C channels in the 128 lanes, time in sublanes, dense s8
+        # (L,128)@(128,128) dots with zero staging (the banded form's
+        # staging was ~34% of its runtime; measured L3 4.57 vs 5.40 ms,
+        # L2 5.51 vs 6.14 standalone). Consumes the previous level's tc /
+        # ptc rows directly (L1-tc emits (B,T,128); ups keeps row count),
+        # and the fused conv_post epilogue's output reshapes straight to
+        # the waveform. DAFT_MRF_PTC=0 reverts to the banded phase path.
+        want_ptc = (use_pallas and cfg['resblock'] == '1' and chain
+                    and int8 and (int8_act_scales or {}).get(i) is not None
+                    and os.environ.get('DAFT_MRF_PTC', '1') != '0'
+                    and cur_tc and want_p >= 2 and want_p == u * cur_p
+                    and k - 2 * ((k - u) // 2) == u
+                    and want_p * c_out == 128
+                    and cur_p * params[f'ups_{i}']['w'].shape[0] == 128
+                    and c_out % 32 == 0)
+        if want_ptc:
+            post = params['conv_post'] if (
+                i == n_ups - 1
+                and os.environ.get('DAFT_FUSE_POST', '1') != '0') else None
+            y_ptc, pd = _pallas_mrf_ptc(
+                params, x, i, cfg, want_p, cur_p,
+                ups=dict(params[f'ups_{i}'], stride=u,
+                         padding=(k - u) // 2),
+                post=post, act_scales=(int8_act_scales or {}).get(i),
+                interpret=interpret)
+            if y_ptc is not None:
+                x = y_ptc
+                cur_p = want_p
+                post_done = pd
+                if _tap is not None:
+                    _tap(i, x, cur_p, cur_tc)
+                continue
         if cur_tc:
-            x = jnp.swapaxes(x, 1, 2)               # back to (B, C, T)
+            x = jnp.swapaxes(x, 1, 2)      # to (B, cur_p*C, Q) phase/ct
             cur_tc = False
         if chain and want_p >= 2 and want_p == u * cur_p \
                 and k - 2 * ((k - u) // 2) == u:
@@ -405,7 +438,12 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         if _tap is not None:
             _tap(i, x, cur_p, cur_tc)
     if post_done:
-        # tail already applied in the fused epilogue; x is (B, p*1, T/p)
+        if cur_tc:
+            # ptc epilogue output (B, Q, p): the row-major flatten IS the
+            # waveform (x[q, r] = wav[p*q + r])
+            B_, Q_, pr = x.shape
+            return x.reshape(B_, 1, Q_ * pr)
+        # banded epilogue; x is (B, p*1, T/p) phase layout
         from daft_exprt_tpu.ops.vocoder_kernels import from_phase
         return from_phase(x, cur_p)
     if cur_tc:
@@ -579,6 +617,42 @@ def _pallas_mrf_tc(params, x_tc, level, cfg, tile, int8=False,
     weights = pack_mrf_tc_weights(params, level, ks, dils)
     return fused_mrf_tc(x_tc, weights, ks, dils, tile=eff_tile,
                         interpret=interpret)
+
+
+def _pallas_mrf_ptc(params, x_rows, level, cfg, p, p_in, ups, post,
+                    act_scales, interpret=False):
+    """Fused upsample + MRF (+ conv_post) in phase-tc layout, int8-static.
+
+    x_rows: (B, Q, p_in*C_in) with p_in*C_in == 128 (the tc layout the
+    wide levels emit is the p_in=1 case). Returns (y, post_applied) —
+    y is (B, Q, p*C_out), or (B, Q, p) when the conv_post epilogue ran,
+    or (None, False) when the row count cannot tile (caller falls back
+    to the banded phase path)."""
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_ptc, pack_mrf_ptc_weights, pack_post_ptc_weights,
+        pack_ups_ptc_weights, ptc_post_feasible)
+    ks = tuple(cfg['resblock_kernel_sizes'])
+    dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
+    rows = x_rows.shape[1]
+    eff = int(os.environ.get('DAFT_PTC_TILE', '') or 8192)
+    while rows % eff != 0 and eff > 64:
+        eff //= 2
+    if rows % eff != 0:
+        return None, False
+    weights = pack_mrf_ptc_weights(params, level, ks, dils, p, act_scales)
+    Uq, sw_u, b_u, u_shifts = pack_ups_ptc_weights(
+        ups['w'], ups['b'], ups['stride'], ups['padding'], p_in)
+    post_w, post_k = None, 0
+    if post is not None and ptc_post_feasible(ks, dils, p,
+                                              post['w'].shape[-1], eff):
+        P, b_p, post_k = pack_post_ptc_weights(post['w'], post['b'], p,
+                                               dtype=x_rows.dtype)
+        post_w = (P, b_p)
+    y = fused_mrf_ptc(x_rows, weights, ks, dils, p, tile=eff,
+                      post_weights=post_w, post_k=post_k,
+                      ups_weights=(Uq, sw_u, b_u), ups_shifts=u_shifts,
+                      interpret=interpret)
+    return y, post_w is not None
 
 
 def _int8_fused():

@@ -1557,3 +1557,364 @@ def pack_resblock_weights(rb_params, n_dil, torch_layout=True):
     w1, b1 = stack('convs1')
     w2, b2 = stack('convs2')
     return w1, b1, w2, b2
+
+
+# ----------------------------------------------------------------------
+# Phase-tc MRF kernel: narrow levels, time in sublanes, phases in lanes
+# ----------------------------------------------------------------------
+#
+# The banded phase form reaches full M=128 MXU rows but must STAGE every
+# lane-shifted operand through VMEM scratch (Mosaic cannot concatenate
+# lane-rotated values) — measured ~34% of the narrow-level int8 kernels'
+# runtime even after compact run-merged staging. The phase-tc form keeps
+# the p phases x C channels in the 128 LANES and time in SUBLANES, so a
+# dilated conv becomes |S| dense (L, 128) @ (128, 128) s8 dots over free
+# sublane shifts with ZERO staging:
+#
+#     y[q, r*C+co] = sum_s  X[q+s, :] @ M_s[:, r*C+co],
+#     M_s[a*C+ci, r*C+co] = sum_{t: r + d*(t-half) = p*s + a} w[co, ci, t]
+#
+# FLOPs grow to sum_s p per conv (V1 mix: 2.92x dense vs the banded
+# compact form's 2.14x — the alignment is fixed by conv semantics, so S
+# cannot be reduced), but the eliminated staging wins on hardware:
+# measured (bench_ptc_probe, B=8) L3 4.57 vs 5.40 ms, L2 5.51 vs 6.14 —
+# and the kernels compile ~5x faster (27 s vs 133 s via the tunnel).
+# Serving-tier only: int8-static with the fused s32 boundary; the other
+# tiers keep the banded kernels.
+#
+# Layout chaining (the reason this fuses end-to-end with zero relayouts):
+# level L1 (tc kernel) emits (B, T1, 128); the L2 upsample consumes it as
+# phase-tc p_in=1 and emits (B, T1, 2*64); L3 emits (B, T1, 4*32); the
+# fused conv_post epilogue emits (B, T1, 4*1) whose row-major reshape IS
+# the waveform.
+
+def _ptc_spec(k, d, p):
+    """Shift table of one dilated conv in phase-tc layout (see module
+    comment). Empty shifts inside the span (dilation gaps) are skipped —
+    compact by construction."""
+    half = (k - 1) // 2
+    ent = {}
+    for r in range(p):
+        for t in range(k):
+            s_, a = divmod(r + d * (t - half), p)
+            ent.setdefault(s_, []).append((a, r, t))
+    shifts = tuple(sorted(ent))
+    return dict(shifts=shifts, smin=shifts[0], smax=shifts[-1],
+                span=shifts[-1] - shifts[0], entries=ent)
+
+
+def _ptc_band(w, d, p, s_cal, margin=1.1):
+    """torch (C_out, C_in, k) -> (S, p*C_in, p*C_out) f32 shift matrices
+    with the static per-channel act scales folded into the input rows;
+    also returns the kernel-side activation multiplier (1, p*C_in)."""
+    C_out, C_in, k = w.shape
+    spec = _ptc_spec(k, d, p)
+    s = jnp.maximum(jnp.asarray(s_cal, jnp.float32),
+                    1e-30) * margin / 127.0               # (C_in,)
+    wf = jnp.transpose(w, (1, 0, 2)).astype(jnp.float32) \
+        * s[:, None, None]                                # (ci, co, k)
+    M = jnp.zeros((len(spec['shifts']), p * C_in, p * C_out), jnp.float32)
+    for si, s_ in enumerate(spec['shifts']):
+        for (a, r, t) in spec['entries'][s_]:
+            M = M.at[si, a * C_in:(a + 1) * C_in,
+                     r * C_out:(r + 1) * C_out].add(wf[:, :, t])
+    inv = jnp.tile(1.0 / s, p)[None, :]
+    return M, inv, spec
+
+
+def _ptc_quant(M):
+    """Joint per-output-column s8 quantization across the shift matrices
+    (they accumulate into one s32 sum, so they must share scales)."""
+    amax = jnp.max(jnp.abs(M), axis=(0, 1))
+    sw = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.round(M / sw[None, None, :]).astype(jnp.int8)
+    return q, sw[None, :].astype(jnp.float32)
+
+
+def pack_mrf_ptc_weights(params, level, kernel_sizes, dilations, p,
+                         act_scales, margin=1.1):
+    """One level's resblocks -> phase-tc int8-static weights: per
+    (block, dilation) [W1 (S1,128,128) s8, inv1, b1i, m1,
+    W2 (S2,128,128) s8, sw2, b2] with (1, 128) row vectors and the
+    conv1->conv2 boundary folded into the integer domain
+    (:func:`_requant_lrelu_s32`). ``act_scales``: the level's
+    [(s1, s2) per block] calibration entry (calibrate_act_scales)."""
+    out = []
+    for j, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
+        rb = params[f'resblock_{level}_{j}']
+        s1_cal, s2_cal = act_scales[j]
+        for i, d in enumerate(dils):
+            w1 = rb[f'convs1_{i}']['w']
+            b1 = rb[f'convs1_{i}']['b']
+            w2 = rb[f'convs2_{i}']['w']
+            b2 = rb[f'convs2_{i}']['b']
+            M1, inv1, _ = _ptc_band(w1, d, p, s1_cal[i], margin)
+            M2, inv2, _ = _ptc_band(w2, 1, p, s2_cal[i], margin)
+            q1, sw1 = _ptc_quant(M1)
+            q2, sw2 = _ptc_quant(M2)
+            b1i, m1 = _fuse_boundary_consts(
+                sw1, jnp.tile(b1, p)[None, :].astype(jnp.float32), inv2)
+            out += [q1, inv1, b1i, m1, q2, sw2,
+                    jnp.tile(b2, p)[None, :].astype(jnp.float32)]
+    return out
+
+
+def pack_ups_ptc_weights(w, b, stride, padding, p_in):
+    """ConvTranspose1d (torch (C_in, C_out, k)) -> phase-tc prologue
+    weights: (Uq (S, p_in*C_in, po*C_out) s8, sw (1, po*C_out),
+    bias (1, po*C_out), shifts tuple). The activation uses a dynamic
+    per-tile scale (no calibration entry exists for the ups input),
+    matching the banded kernels' fused-ups int8 semantics."""
+    C_in, C_out, k = w.shape
+    entries, dmin, dmax = _ups_phase_entries(k, stride, padding, p_in)
+    po = stride * p_in
+    shifts = tuple(sorted({d for *_, d in entries}))
+    sidx = {s_: i for i, s_ in enumerate(shifts)}
+    U = jnp.zeros((len(shifts), p_in * C_in, po * C_out), jnp.float32)
+    wf = w.astype(jnp.float32)
+    for (r, j, a, d) in entries:
+        U = U.at[sidx[d], a * C_in:(a + 1) * C_in,
+                 r * C_out:(r + 1) * C_out].add(wf[:, :, j])
+    Uq, sw = _ptc_quant(U)
+    bias = jnp.tile(b, po)[None, :].astype(jnp.float32)
+    return Uq, sw, bias, shifts
+
+
+def pack_post_ptc_weights(w, b, p, dtype=jnp.float32):
+    """conv_post (torch (C_out, C_in, k), d=1) -> phase-tc epilogue
+    weights (P (S, p*C_in, p*C_out) in ``dtype``, bias (1, p*C_out) f32,
+    post_k). The epilogue runs on the f32 accumulator at full precision
+    (its FLOPs are negligible)."""
+    C_out, C_in, k = w.shape
+    spec = _ptc_spec(k, 1, p)
+    P = jnp.zeros((len(spec['shifts']), p * C_in, p * C_out), jnp.float32)
+    wf = jnp.transpose(w, (1, 0, 2)).astype(jnp.float32)
+    for si, s_ in enumerate(spec['shifts']):
+        for (a, r, t) in spec['entries'][s_]:
+            P = P.at[si, a * C_in:(a + 1) * C_in,
+                     r * C_out:(r + 1) * C_out].add(wf[:, :, t])
+    return P.astype(dtype), jnp.tile(b, p)[None, :].astype(jnp.float32), k
+
+
+def ptc_chain_halo(kernel_sizes, dilations, p):
+    """Per-side halo in phase-tc rows for the fused chain, 64-aligned."""
+    worst = 0
+    for k, dils in zip(kernel_sizes, dilations):
+        tot = sum(_ptc_spec(k, d, p)['span'] + _ptc_spec(k, 1, p)['span']
+                  for d in dils)
+        worst = max(worst, tot)
+    return -(-worst // 64) * 64
+
+
+def _ptc_chain_geometry(kernel_sizes, dilations, p, tile, halo):
+    """Static per-block (off, cur_len) after the fused chain."""
+    geo = []
+    for k, dils in zip(kernel_sizes, dilations):
+        off, cur_len = 0, tile + 2 * halo
+        for d in dils:
+            sp1 = _ptc_spec(k, d, p)
+            sp2 = _ptc_spec(k, 1, p)
+            off += -sp1['smin'] - sp2['smin']
+            cur_len -= sp1['span'] + sp2['span']
+        geo.append((off, cur_len))
+    return geo
+
+
+def ptc_post_feasible(kernel_sizes, dilations, p, post_k, tile):
+    """True when the chain halo leaves enough margin for the conv_post
+    epilogue window."""
+    halo = ptc_chain_halo(kernel_sizes, dilations, p)
+    sp = _ptc_spec(post_k, 1, p)
+    for off, cur_len in _ptc_chain_geometry(kernel_sizes, dilations, p,
+                                            tile, halo):
+        start = halo + sp['smin'] - off
+        if start < 0 or start + tile + sp['span'] > cur_len:
+            return False
+    return True
+
+
+def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p, C,
+                          post_k=0, ups_shifts=(), ups_base=0, halo_in=0,
+                          c_rows=0):
+    """Phase-tc MRF fusion (int8-static). x_hbm: (B, rows + 2*halo_in,
+    p_in*C_in) in HBM; refs = per-(block, dilation) 7 chain refs
+    [+ P, b_post when post_k] [+ Uq, sw_u, b_u when ups_shifts] + o_ref +
+    x_scratch + sem. No staging scratch: every tap shift is a sublane
+    slice."""
+    n_w = 7 * sum(len(d) for d in dils)
+    n_post = 2 if post_k else 0
+    n_ups = 3 if ups_shifts else 0
+    base = n_w + n_post + n_ups
+    o_ref = refs[base]
+    x_scratch = refs[base + 1]
+    sem = refs[base + 2]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    hin = halo_in if ups_shifts else halo
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * tile, tile + 2 * hin), :], x_scratch, sem)
+    copy.start()
+    copy.wait()
+
+    sp_post = _ptc_spec(post_k, 1, p) if post_k else None
+    ext = sp_post['span'] if post_k else 0
+    a0 = sp_post['smin'] if post_k else 0
+
+    if ups_shifts:
+        Uq, sw_u, b_u = refs[n_w + n_post:n_w + n_post + 3]
+        L0 = tile + 2 * halo
+        xin_f = _lrelu(x_scratch[:].astype(jnp.float32))
+        qx, sx = _quantize_dynamic(xin_f)
+        usmin = ups_shifts[0]
+        acc = None
+        for si, s_ in enumerate(ups_shifts):
+            seg = qx[ups_base + (s_ - usmin):
+                     ups_base + (s_ - usmin) + L0]
+            c = jnp.dot(seg, Uq[si], preferred_element_type=jnp.int32)
+            acc = c if acc is None else acc + c
+        x0 = acc.astype(jnp.float32) * (sw_u[:] * sx) + b_u[:]
+    else:
+        x0 = x_scratch[:].astype(jnp.float32)     # (tile + 2*halo, p*C)
+
+    def conv_q8(q_in, W_ref, sp, L_out):
+        acc = None
+        for si, s_ in enumerate(sp['shifts']):
+            seg = q_in[s_ - sp['smin']: s_ - sp['smin'] + L_out]
+            c = jnp.dot(seg, W_ref[si], preferred_element_type=jnp.int32)
+            acc = c if acc is None else acc + c
+        return acc
+
+    acc_out = None
+    ref_idx = 0
+    for blk, k in enumerate(ks):
+        cur = x0
+        cur_len = tile + 2 * halo
+        off = 0
+        for d in dils[blk]:
+            sp1 = _ptc_spec(k, d, p)
+            sp2 = _ptc_spec(k, 1, p)
+            L1 = cur_len - sp1['span']
+            L2 = L1 - sp2['span']
+            W1, inv1, b1i, m1, W2, sw2, b2 = refs[ref_idx:ref_idx + 7]
+            ref_idx += 7
+            q_in = _quantize_lrelu_static(cur, inv1[:])
+            acc1 = conv_q8(q_in, W1, sp1, L1)
+            q_mid = _requant_lrelu_s32(acc1, b1i[:], m1[:])
+            acc2 = conv_q8(q_mid, W2, sp2, L2)
+            a2 = acc2.astype(jnp.float32) * sw2[:] + b2[:]
+            shift = -sp1['smin'] - sp2['smin']
+            cur = cur[shift:shift + L2] + a2
+            cur_len = L2
+            off += shift
+        start = halo + a0 - off
+        win = cur[start: start + tile + ext]
+        acc_out = win if acc_out is None else acc_out + win
+    acc_out = acc_out * (1.0 / len(ks))
+    if post_k:
+        P, b_post = refs[n_w:n_w + 2]
+        t_in = _lrelu(acc_out).astype(P.dtype)
+        y = None
+        for si, s_ in enumerate(sp_post['shifts']):
+            seg = t_in[s_ - sp_post['smin']: s_ - sp_post['smin'] + tile]
+            c = jnp.dot(seg, P[si], preferred_element_type=jnp.float32)
+            y = c if y is None else y + c
+        o_ref[0, :, :] = jnp.tanh(y + b_post[:]).astype(o_ref.dtype)
+    else:
+        o_ref[0, :, :] = acc_out.astype(o_ref.dtype)
+
+
+def fused_mrf_ptc(x, weights, kernel_sizes, dilations, p, tile=8192,
+                  post_weights=None, post_k=0, ups_weights=None,
+                  ups_shifts=(), interpret=False):
+    """Fused MRF resblock group in phase-tc layout — the int8-static
+    serving kernel for the narrow (C*p == 128) levels.
+
+    x: (B, rows, 128). Without ``ups_weights``, rows = T/p and the lanes
+    hold this level's p phases x C channels. With ``ups_weights`` =
+    (Uq, sw, bias) + static ``ups_shifts`` from
+    :func:`pack_ups_ptc_weights`, x is the PRE-upsample activation
+    (phase-tc p_in with p_in*C_in == 128 lanes, same row count) and
+    lrelu + the transposed-conv upsample run as an in-kernel prologue.
+    ``post_weights`` = (P, bias) + static ``post_k`` from
+    :func:`pack_post_ptc_weights` fuses lrelu -> conv_post -> tanh as the
+    epilogue; the output is then (B, rows, p*C_out_post) whose row-major
+    reshape is the waveform. ``weights`` from
+    :func:`pack_mrf_ptc_weights`. Matches the banded int8-static kernel
+    to f32-epilogue ULP (the s32 dot sums are exact integers; the f32
+    dequant/bias epilogues may FMA differently between the two compiled
+    graphs — observed rel ~2e-5 on the full chain, and bit-identical at
+    the bench_ptc_probe config); utterance edges collapse SAME padding
+    across the chain like every fused kernel here.
+    """
+    return _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p,
+                              tile=tile, post_weights=post_weights,
+                              post_k=post_k, ups_weights=ups_weights,
+                              ups_shifts=tuple(ups_shifts),
+                              interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
+                                             'p', 'tile', 'post_k',
+                                             'ups_shifts', 'interpret'))
+def _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p, tile=8192,
+                       post_weights=None, post_k=0, ups_weights=None,
+                       ups_shifts=(), interpret=False):
+    B, rows, lanes = x.shape
+    C = lanes // p if ups_weights is None else None
+    halo = ptc_chain_halo(kernel_sizes, dilations, p)
+    if rows % tile != 0:
+        raise ValueError(f'rows={rows} not a multiple of tile={tile}')
+    weights = list(weights)
+
+    if post_weights is not None:
+        P, b_post = post_weights
+        if not ptc_post_feasible(kernel_sizes, dilations, p, post_k, tile):
+            raise ValueError('chain halo too small for conv_post epilogue')
+        weights += [P, b_post]
+        c_rows = P.shape[2]
+    else:
+        post_k = 0
+        c_rows = lanes
+
+    halo_in = halo
+    ups_base = 0
+    if ups_weights is None:
+        ups_shifts = ()
+    else:
+        Uq, sw_u, b_u = ups_weights
+        usmin, usmax = ups_shifts[0], ups_shifts[-1]
+        halo_in = -(-max(halo - usmin, halo + usmax) // 64) * 64
+        ups_base = halo_in - halo + usmin
+        weights += [Uq, sw_u, b_u]
+        if C is None:
+            C = Uq.shape[2] // p
+
+    xpad = jnp.pad(x, ((0, 0), (halo_in, halo_in), (0, 0)))
+    kernel = functools.partial(
+        _fused_mrf_ptc_kernel, tile=tile, halo=halo,
+        ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
+        p=p, C=C, post_k=post_k, ups_shifts=tuple(ups_shifts),
+        ups_base=ups_base, halo_in=halo_in, c_rows=c_rows)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(
+            w.shape, (lambda b, t, _n=w.ndim: (0,) * _n),
+            memory_space=pltpu.VMEM))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, rows // tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, c_rows), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, rows, c_rows), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * halo_in, lanes), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(xpad, *weights)

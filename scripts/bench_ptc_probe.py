@@ -366,8 +366,17 @@ def main():
     while Tq % tile != 0 and tile > 128:
         tile //= 2
 
-    w_banded = pack_banded_chain(params, p, C, scales)
-    w_ptc, _specs = pack_ptc_chain(params, p, C, scales)
+    # pack BOTH weight sets on the host CPU: the banded packer is jnp and
+    # would otherwise run eagerly on the TPU, whose f32 mul/div can differ
+    # from numpy by one ulp in the scale computation — enough to flip a
+    # rounded int8 weight by 1 and break the bit-identity comparison
+    with jax.default_device(jax.devices('cpu')[0]):
+        w_banded = [np.asarray(w) for w in pack_banded_chain(
+            params, p, C, scales)]
+        w_ptc0, _specs = pack_ptc_chain(params, p, C, scales)
+        w_ptc = [np.asarray(w) for w in w_ptc0]
+    w_banded = [jnp.asarray(w) for w in w_banded]
+    w_ptc = [jnp.asarray(w) for w in w_ptc]
 
     outs = {}
     for form in args.forms.split(','):
@@ -397,8 +406,20 @@ def main():
         a = outs['banded']                     # (B, pC, Tq)
         b_ = np.swapaxes(outs['ptc'], 1, 2)    # -> (B, pC, Tq)
         eq = np.array_equal(a, b_)
-        print(f'bit-identical: {eq} (max|d| '
-              f'{np.abs(a - b_).max():.3e})', flush=True)
+        d = np.abs(a - b_)
+        print(f'bit-identical: {eq} (max|d| {d.max():.3e}, '
+              f'frac>0 {np.mean(d > 0):.2e})', flush=True)
+        if not eq:
+            # localize: which (batch, row, col) region disagrees?
+            idx = np.argwhere(d == d.max())[0]
+            cols = np.where(d.max(axis=(0, 1)) > 0)[0]
+            rows = np.where(d.max(axis=(0, 2)) > 0)[0]
+            print(f'  worst at {tuple(idx)}; differing cols '
+                  f'{cols.min()}..{cols.max()} (n={len(cols)}, Tq={a.shape[2]}, '
+                  f'tile={tile}); rows {rows.min()}..{rows.max()} '
+                  f'(n={len(rows)})', flush=True)
+            rel = np.linalg.norm(d) / np.linalg.norm(a)
+            print(f'  rel-L2 {rel:.3e}', flush=True)
         assert eq, 'forms disagree'
 
 

@@ -196,10 +196,12 @@ def per_level_budget(params, mel, scales):
     from daft_exprt_tpu.ops.vocoder_kernels import from_phase
 
     def canon(x, p, tc):
+        # tc with p>1 is the phase-tc layout (B, Q, p*C): transpose to
+        # phase then de-interleave
         if tc:
-            return jnp.swapaxes(x, 1, 2)
+            x = jnp.swapaxes(x, 1, 2)
         if p > 1:
-            return from_phase(x, p)
+            x = from_phase(x, p)
         return x
 
     def make(**run_kwargs):

@@ -1,4 +1,6 @@
 """Fused Pallas resblock kernel: interpret-mode correctness on CPU."""
+import os
+
 import numpy as np
 import pytest
 
@@ -655,3 +657,98 @@ def test_int8_fused_epilogue_matches_unfused():
                                    int8_fused=True, interpret=True))
     rel2 = np.linalg.norm(fus2 - sep2) / max(np.linalg.norm(sep2), 1e-9)
     assert rel2 < 0.02, rel2
+
+
+def test_fused_mrf_ptc_matches_banded():
+    """The phase-tc chain (time in sublanes, phases in lanes, zero
+    staging) matches the banded int8-static-fused chain to f32-epilogue
+    ULP: both quantize with the same per-(r, co) joint weight scales and
+    static per-channel act scales, and the s32 dot sums are exact
+    integers — but the f32 dequant/bias epilogues may compile to FMA in
+    one graph and mul+add in the other, and those last-ulp differences
+    can cross a requant rounding threshold deeper in the chain (observed
+    max ~1e-3 on a 2-block chain, rel ~2e-5; the on-TPU probe config in
+    scripts/bench_ptc_probe.py happens to compile bit-identically)."""
+    import jax.numpy as jnp
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, fused_mrf_ptc, pack_mrf_phase_weights,
+        pack_mrf_ptc_weights, to_phase)
+    rng = np.random.RandomState(33)
+    C, p, B, T = 32, 4, 1, 8192
+    ks, dils = (3, 11), ((1, 5), (1, 5))      # d=5 > p: gapped bands
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        params[f'resblock_0_{j}'] = {
+            f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, k)
+                                            .astype(np.float32) * .05),
+                           'b': jnp.asarray(rng.randn(C)
+                                            .astype(np.float32) * .01)}
+            for pre in ('convs1', 'convs2') for i in range(len(d))}
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    xp = to_phase(x, p)                        # (B, pC, Q)
+    # level-entry act scales in both packers' formats
+    s_flat = [0.3 + rng.rand(C).astype(np.float32)
+              for _ in range(2 * sum(len(d) for d in dils))]
+    lvl_scales = []
+    it = iter(s_flat)
+    for k, d in zip(ks, dils):
+        s1 = np.stack([next(it) for _ in range(len(d))])
+        s2 = np.stack([next(it) for _ in range(len(d))])
+        # phase pack order is conv1, conv2 per dilation — interleave back
+        lvl_scales.append((s1, s2))
+    # rebuild the flat list in phase order from the level entries so both
+    # packers consume identical values
+    ph_scales = [s[i] for s1, s2 in lvl_scales
+                 for i in range(s1.shape[0]) for s in (s1, s2)]
+
+    w_band = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    y_band = np.asarray(fused_mrf_phase(
+        xp, w_band, ks, dils, p, tile=512, in_phase=True, out_phase=True,
+        int8_chain=True, act_scales=ph_scales, int8_fused=True,
+        compact=True, interpret=True))         # (B, pC, Q)
+
+    w_ptc = pack_mrf_ptc_weights(params, 0, ks, dils, p, lvl_scales)
+    y_ptc = np.asarray(fused_mrf_ptc(
+        jnp.swapaxes(xp, 1, 2), w_ptc, ks, dils, p, tile=512,
+        interpret=True))                       # (B, Q, pC)
+    yp = np.swapaxes(y_ptc, 1, 2)
+    rel = (np.linalg.norm(yp - y_band)
+           / (np.linalg.norm(y_band) + 1e-30))
+    assert rel < 1e-4, rel
+    assert np.isfinite(y_ptc).all()
+
+
+def test_generator_ptc_int8_serving():
+    """Full-generator int8-static serving with the ptc tail (ups
+    prologue + conv_post epilogue) tracks the banded int8 path inside
+    the quantized-serving band (the fused-ups dynamic per-tile scale
+    sees a different halo window, so the paths are close but not
+    bit-identical) and the f32 XLA reference inside the int8 budget."""
+    import jax
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        calibrate_act_scales, generator_forward, init_generator_params)
+    params = init_generator_params(jax.random.PRNGKey(5))
+    mel = jnp.asarray(np.random.RandomState(6).randn(1, 80, 64)
+                      .astype(np.float32))
+    scales = calibrate_act_scales(params, mel)
+    ref = np.asarray(generator_forward(params, mel, use_pallas=False),
+                     np.float64)
+    outs = {}
+    for flag in ('0', '1'):
+        os.environ['DAFT_MRF_PTC'] = flag
+        try:
+            outs[flag] = np.asarray(generator_forward(
+                params, mel, use_pallas=True, int8=True,
+                int8_act_scales=scales, interpret=True), np.float64)
+        finally:
+            os.environ.pop('DAFT_MRF_PTC', None)
+    assert outs['1'].shape == ref.shape
+    rel_paths = (np.linalg.norm(outs['1'] - outs['0'])
+                 / (np.linalg.norm(outs['0']) + 1e-30))
+    cut = 2048
+    rel_ref = (np.linalg.norm(outs['1'][..., cut:-cut]
+                              - ref[..., cut:-cut])
+               / (np.linalg.norm(ref[..., cut:-cut]) + 1e-30))
+    assert rel_paths < 0.05, rel_paths
+    assert rel_ref < 0.08, rel_ref
