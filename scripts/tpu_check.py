@@ -201,6 +201,51 @@ def check_compact(results):
     print(f'  int8 bit-identical: {bit_ok}; bf16 rel {rel:.2e}', flush=True)
 
 
+def check_ptc(results):
+    """Compiled phase-tc vs banded-compact int8-static chain agreement at
+    the L3 shape: the s32 dot sums are exact integers, so the forms may
+    differ only by f32-epilogue FMA regrouping (rel ~1e-5 band)."""
+    from daft_exprt_tpu.ops.vocoder_kernels import (
+        fused_mrf_phase, fused_mrf_ptc, pack_mrf_phase_weights,
+        pack_mrf_ptc_weights, to_phase)
+    rng = np.random.RandomState(6)
+    C, p, B, T = 32, 4, 1, 32768
+    ks = (3, 7, 11)
+    dils = ((1, 3, 5),) * 3
+    params = {}
+    for j, (k, d) in enumerate(zip(ks, dils)):
+        params[f'resblock_0_{j}'] = {
+            f'{pre}_{i}': {'w': jnp.asarray(rng.randn(C, C, k)
+                                            .astype(np.float32) * .05),
+                           'b': jnp.asarray(rng.randn(C)
+                                            .astype(np.float32) * .01)}
+            for pre in ('convs1', 'convs2') for i in range(len(d))}
+    x = jnp.asarray(rng.randn(B, C, T).astype(np.float32) * 0.1)
+    xp = to_phase(x, p)
+    lvl = []
+    for k, d in zip(ks, dils):
+        lvl.append((np.stack([0.3 + rng.rand(C).astype(np.float32)
+                              for _ in range(len(d))]),
+                    np.stack([0.3 + rng.rand(C).astype(np.float32)
+                              for _ in range(len(d))])))
+    ph = [s[i] for s1, s2 in lvl for i in range(s1.shape[0])
+          for s in (s1, s2)]
+    print('ptc vs banded int8 chain, compiled (compiling ~2+1 min)...',
+          flush=True)
+    w_band = pack_mrf_phase_weights(params, 0, ks, dils, p)
+    y_band = np.asarray(fused_mrf_phase(
+        xp, w_band, ks, dils, p, tile=1024, in_phase=True, out_phase=True,
+        int8_chain=True, act_scales=ph, int8_fused=True), np.float64)
+    w_ptc = pack_mrf_ptc_weights(params, 0, ks, dils, p, lvl)
+    y_ptc = np.asarray(fused_mrf_ptc(
+        jnp.swapaxes(xp, 1, 2), w_ptc, ks, dils, p, tile=1024), np.float64)
+    rel = float(np.linalg.norm(np.swapaxes(y_ptc, 1, 2) - y_band)
+                / (np.linalg.norm(y_band) + 1e-30))
+    results['ptc_vs_banded_int8'] = {'rel_l2': rel, 'tol': 1e-4,
+                                     'pass': rel < 1e-4}
+    print(f'  ptc vs banded rel {rel:.2e}', flush=True)
+
+
 def check_train_step(results):
     print('train step (compiling)...', flush=True)
     import subprocess
@@ -257,7 +302,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', type=str, default='NUMERICS.json')
     ap.add_argument('--skip', type=str, default='',
-                    help='comma list: vocoder,tc,attention,train,compact')
+                    help='comma list: vocoder,tc,attention,train,compact,'
+                         'ptc')
     args = ap.parse_args()
     skip = set(args.skip.split(',')) if args.skip else set()
 
@@ -292,6 +338,8 @@ def main():
         check_tc_kernel(checks)
     if 'compact' not in skip:
         check_compact(checks)
+    if 'ptc' not in skip:
+        check_ptc(checks)
     if 'attention' not in skip:
         check_attention(checks)
     if 'train' not in skip:
