@@ -342,8 +342,11 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # ptc rows directly (L1-tc emits (B,T,128); ups keeps row count),
         # and the fused conv_post epilogue's output reshapes straight to
         # the waveform. DAFT_MRF_PTC=0 reverts to the banded phase path.
+        lvl_scales = (int8_act_scales or {}).get(i)
         want_ptc = (use_pallas and cfg['resblock'] == '1' and chain
-                    and int8 and (int8_act_scales or {}).get(i) is not None
+                    and int8
+                    and (lvl_scales is not None
+                         or os.environ.get('DAFT_MRF_PTC_DYN', '1') != '0')
                     and os.environ.get('DAFT_MRF_PTC', '1') != '0'
                     and cur_tc and want_p >= 2 and want_p == u * cur_p
                     and k - 2 * ((k - u) // 2) == u
@@ -358,7 +361,7 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 params, x, i, cfg, want_p, cur_p,
                 ups=dict(params[f'ups_{i}'], stride=u,
                          padding=(k - u) // 2),
-                post=post, act_scales=(int8_act_scales or {}).get(i),
+                post=post, act_scales=lvl_scales,
                 interpret=interpret)
             if y_ptc is not None:
                 x = y_ptc
@@ -651,7 +654,7 @@ def _pallas_mrf_ptc(params, x_rows, level, cfg, p, p_in, ups, post,
     y = fused_mrf_ptc(x_rows, weights, ks, dils, p, tile=eff,
                       post_weights=post_w, post_k=post_k,
                       ups_weights=(Uq, sw_u, b_u), ups_shifts=u_shifts,
-                      interpret=interpret)
+                      dyn=act_scales is None, interpret=interpret)
     return y, post_w is not None
 
 

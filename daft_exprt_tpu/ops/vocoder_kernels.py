@@ -1605,12 +1605,16 @@ def _ptc_spec(k, d, p):
 
 def _ptc_band(w, d, p, s_cal, margin=1.1):
     """torch (C_out, C_in, k) -> (S, p*C_in, p*C_out) f32 shift matrices
-    with the static per-channel act scales folded into the input rows;
-    also returns the kernel-side activation multiplier (1, p*C_in)."""
+    with the static per-channel act scales folded into the input rows
+    (``s_cal=None``: no fold — the dynamic-scale form); also returns the
+    kernel-side activation multiplier (1, p*C_in)."""
     C_out, C_in, k = w.shape
     spec = _ptc_spec(k, d, p)
-    s = jnp.maximum(jnp.asarray(s_cal, jnp.float32),
-                    1e-30) * margin / 127.0               # (C_in,)
+    if s_cal is None:
+        s = jnp.ones((C_in,), jnp.float32)
+    else:
+        s = jnp.maximum(jnp.asarray(s_cal, jnp.float32),
+                        1e-30) * margin / 127.0           # (C_in,)
     wf = jnp.transpose(w, (1, 0, 2)).astype(jnp.float32) \
         * s[:, None, None]                                # (ci, co, k)
     M = jnp.zeros((len(spec['shifts']), p * C_in, p * C_out), jnp.float32)
@@ -1632,30 +1636,41 @@ def _ptc_quant(M):
 
 
 def pack_mrf_ptc_weights(params, level, kernel_sizes, dilations, p,
-                         act_scales, margin=1.1):
-    """One level's resblocks -> phase-tc int8-static weights: per
-    (block, dilation) [W1 (S1,128,128) s8, inv1, b1i, m1,
-    W2 (S2,128,128) s8, sw2, b2] with (1, 128) row vectors and the
-    conv1->conv2 boundary folded into the integer domain
-    (:func:`_requant_lrelu_s32`). ``act_scales``: the level's
-    [(s1, s2) per block] calibration entry (calibrate_act_scales)."""
+                         act_scales=None, margin=1.1):
+    """One level's resblocks -> phase-tc int8 weights.
+
+    With ``act_scales`` (the level's [(s1, s2) per block] calibration
+    entry): static form — per (block, dilation) [W1 (S1,128,128) s8,
+    inv1, b1i, m1, W2 (S2,128,128) s8, sw2, b2] with (1, 128) row vectors
+    and the conv1->conv2 boundary folded into the integer domain
+    (:func:`_requant_lrelu_s32`). Without: dynamic form — per
+    (block, dilation) [W1, sw1, b1, W2, sw2, b2]; the kernel quantizes
+    activations with a per-tile dynamic scale."""
     out = []
     for j, (k, dils) in enumerate(zip(kernel_sizes, dilations)):
         rb = params[f'resblock_{level}_{j}']
-        s1_cal, s2_cal = act_scales[j]
+        s1_cal, s2_cal = act_scales[j] if act_scales is not None \
+            else (None, None)
         for i, d in enumerate(dils):
             w1 = rb[f'convs1_{i}']['w']
             b1 = rb[f'convs1_{i}']['b']
             w2 = rb[f'convs2_{i}']['w']
             b2 = rb[f'convs2_{i}']['b']
+            b1t = jnp.tile(b1, p)[None, :].astype(jnp.float32)
+            b2t = jnp.tile(b2, p)[None, :].astype(jnp.float32)
+            if act_scales is None:
+                M1, _, _ = _ptc_band(w1, d, p, None, margin)
+                M2, _, _ = _ptc_band(w2, 1, p, None, margin)
+                q1, sw1 = _ptc_quant(M1)
+                q2, sw2 = _ptc_quant(M2)
+                out += [q1, sw1, b1t, q2, sw2, b2t]
+                continue
             M1, inv1, _ = _ptc_band(w1, d, p, s1_cal[i], margin)
             M2, inv2, _ = _ptc_band(w2, 1, p, s2_cal[i], margin)
             q1, sw1 = _ptc_quant(M1)
             q2, sw2 = _ptc_quant(M2)
-            b1i, m1 = _fuse_boundary_consts(
-                sw1, jnp.tile(b1, p)[None, :].astype(jnp.float32), inv2)
-            out += [q1, inv1, b1i, m1, q2, sw2,
-                    jnp.tile(b2, p)[None, :].astype(jnp.float32)]
+            b1i, m1 = _fuse_boundary_consts(sw1, b1t, inv2)
+            out += [q1, inv1, b1i, m1, q2, sw2, b2t]
     return out
 
 
@@ -1735,13 +1750,14 @@ def ptc_post_feasible(kernel_sizes, dilations, p, post_k, tile):
 
 def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p, C,
                           post_k=0, ups_shifts=(), ups_base=0, halo_in=0,
-                          c_rows=0):
-    """Phase-tc MRF fusion (int8-static). x_hbm: (B, rows + 2*halo_in,
-    p_in*C_in) in HBM; refs = per-(block, dilation) 7 chain refs
+                          c_rows=0, dyn=False):
+    """Phase-tc MRF fusion (int8-static, or per-tile dynamic scales with
+    ``dyn``). x_hbm: (B, rows + 2*halo_in, p_in*C_in) in HBM; refs =
+    per-(block, dilation) 7 (static) / 6 (dyn) chain refs
     [+ P, b_post when post_k] [+ Uq, sw_u, b_u when ups_shifts] + o_ref +
     x_scratch + sem. No staging scratch: every tap shift is a sublane
     slice."""
-    n_w = 7 * sum(len(d) for d in dils)
+    n_w = (6 if dyn else 7) * sum(len(d) for d in dils)
     n_post = 2 if post_k else 0
     n_ups = 3 if ups_shifts else 0
     base = n_w + n_post + n_ups
@@ -1796,13 +1812,23 @@ def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p, C,
             sp2 = _ptc_spec(k, 1, p)
             L1 = cur_len - sp1['span']
             L2 = L1 - sp2['span']
-            W1, inv1, b1i, m1, W2, sw2, b2 = refs[ref_idx:ref_idx + 7]
-            ref_idx += 7
-            q_in = _quantize_lrelu_static(cur, inv1[:])
-            acc1 = conv_q8(q_in, W1, sp1, L1)
-            q_mid = _requant_lrelu_s32(acc1, b1i[:], m1[:])
-            acc2 = conv_q8(q_mid, W2, sp2, L2)
-            a2 = acc2.astype(jnp.float32) * sw2[:] + b2[:]
+            if dyn:
+                W1, sw1, b1, W2, sw2, b2 = refs[ref_idx:ref_idx + 6]
+                ref_idx += 6
+                q_in, sx1 = _quantize_dynamic(_lrelu(cur))
+                acc1 = conv_q8(q_in, W1, sp1, L1)
+                a1 = acc1.astype(jnp.float32) * (sw1[:] * sx1) + b1[:]
+                q_mid, sx2 = _quantize_dynamic(_lrelu(a1))
+                acc2 = conv_q8(q_mid, W2, sp2, L2)
+                a2 = acc2.astype(jnp.float32) * (sw2[:] * sx2) + b2[:]
+            else:
+                W1, inv1, b1i, m1, W2, sw2, b2 = refs[ref_idx:ref_idx + 7]
+                ref_idx += 7
+                q_in = _quantize_lrelu_static(cur, inv1[:])
+                acc1 = conv_q8(q_in, W1, sp1, L1)
+                q_mid = _requant_lrelu_s32(acc1, b1i[:], m1[:])
+                acc2 = conv_q8(q_mid, W2, sp2, L2)
+                a2 = acc2.astype(jnp.float32) * sw2[:] + b2[:]
             shift = -sp1['smin'] - sp2['smin']
             cur = cur[shift:shift + L2] + a2
             cur_len = L2
@@ -1826,7 +1852,7 @@ def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p, C,
 
 def fused_mrf_ptc(x, weights, kernel_sizes, dilations, p, tile=8192,
                   post_weights=None, post_k=0, ups_weights=None,
-                  ups_shifts=(), interpret=False):
+                  ups_shifts=(), dyn=False, interpret=False):
     """Fused MRF resblock group in phase-tc layout — the int8-static
     serving kernel for the narrow (C*p == 128) levels.
 
@@ -1850,16 +1876,17 @@ def fused_mrf_ptc(x, weights, kernel_sizes, dilations, p, tile=8192,
     return _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p,
                               tile=tile, post_weights=post_weights,
                               post_k=post_k, ups_weights=ups_weights,
-                              ups_shifts=tuple(ups_shifts),
+                              ups_shifts=tuple(ups_shifts), dyn=bool(dyn),
                               interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
                                              'p', 'tile', 'post_k',
-                                             'ups_shifts', 'interpret'))
+                                             'ups_shifts', 'dyn',
+                                             'interpret'))
 def _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p, tile=8192,
                        post_weights=None, post_k=0, ups_weights=None,
-                       ups_shifts=(), interpret=False):
+                       ups_shifts=(), dyn=False, interpret=False):
     B, rows, lanes = x.shape
     C = lanes // p if ups_weights is None else None
     halo = ptc_chain_halo(kernel_sizes, dilations, p)
@@ -1895,7 +1922,7 @@ def _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p, tile=8192,
         _fused_mrf_ptc_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         p=p, C=C, post_k=post_k, ups_shifts=tuple(ups_shifts),
-        ups_base=ups_base, halo_in=halo_in, c_rows=c_rows)
+        ups_base=ups_base, halo_in=halo_in, c_rows=c_rows, dyn=dyn)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:

@@ -752,3 +752,37 @@ def test_generator_ptc_int8_serving():
                / (np.linalg.norm(ref[..., cut:-cut]) + 1e-30))
     assert rel_paths < 0.05, rel_paths
     assert rel_ref < 0.08, rel_ref
+
+
+def test_generator_ptc_int8_dynamic():
+    """The dynamic-scale int8 tier (no calibration) also routes the
+    narrow tail through the phase-tc kernel: tracks the banded dynamic
+    path inside the quantized-serving band (per-tile amax windows differ
+    between the forms' halo extents, so not bit-identical) and the f32
+    reference inside the int8 budget."""
+    import jax
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        generator_forward, init_generator_params)
+    params = init_generator_params(jax.random.PRNGKey(8))
+    mel = jnp.asarray(np.random.RandomState(9).randn(1, 80, 64)
+                      .astype(np.float32))
+    ref = np.asarray(generator_forward(params, mel, use_pallas=False),
+                     np.float64)
+    outs = {}
+    for flag in ('0', '1'):
+        os.environ['DAFT_MRF_PTC_DYN'] = flag
+        try:
+            outs[flag] = np.asarray(generator_forward(
+                params, mel, use_pallas=True, int8=True,
+                interpret=True), np.float64)
+        finally:
+            os.environ.pop('DAFT_MRF_PTC_DYN', None)
+    rel_paths = (np.linalg.norm(outs['1'] - outs['0'])
+                 / (np.linalg.norm(outs['0']) + 1e-30))
+    cut = 2048
+    rel_ref = (np.linalg.norm(outs['1'][..., cut:-cut]
+                              - ref[..., cut:-cut])
+               / (np.linalg.norm(ref[..., cut:-cut]) + 1e-30))
+    assert rel_paths < 0.08, rel_paths
+    assert rel_ref < 0.10, rel_ref
