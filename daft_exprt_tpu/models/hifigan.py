@@ -343,11 +343,17 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # and the fused conv_post epilogue's output reshapes straight to
         # the waveform. DAFT_MRF_PTC=0 reverts to the banded phase path.
         lvl_scales = (int8_act_scales or {}).get(i)
+        # ptc wins at batch (B=128: 3215 vs 3056 audio-s/s) but loses at
+        # B=1 (chained RTF 4.95 vs 4.41 ms: ~190 small dots/tile expose
+        # per-op latency without batch grid rows to hide it) — route by
+        # the static batch size, banded below DAFT_PTC_MIN_BATCH
         want_ptc = (use_pallas and cfg['resblock'] == '1' and chain
                     and int8
                     and (lvl_scales is not None
                          or os.environ.get('DAFT_MRF_PTC_DYN', '1') != '0')
                     and os.environ.get('DAFT_MRF_PTC', '1') != '0'
+                    and x.shape[0] >= int(os.environ.get(
+                        'DAFT_PTC_MIN_BATCH', '8'))
                     and cur_tc and want_p >= 2 and want_p == u * cur_p
                     and k - 2 * ((k - u) // 2) == u
                     and want_p * c_out == 128

@@ -446,6 +446,11 @@ def main():
                          'per-level error budgets')
     args = ap.parse_args()
 
+    # the eval batch (4) is below the ptc batch gate; force the ptc tail
+    # so the artifact certifies the path large-batch serving actually runs
+    # (the banded path carries its own r3/r4 qualification)
+    os.environ.setdefault('DAFT_PTC_MIN_BATCH', '1')
+
     from daft_exprt_tpu.models.hifigan import init_generator_params
     from daft_exprt_tpu.vocoder_finetune import make_loss_mel_fn
     from flax import traverse_util

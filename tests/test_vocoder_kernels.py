@@ -735,6 +735,7 @@ def test_generator_ptc_int8_serving():
     ref = np.asarray(generator_forward(params, mel, use_pallas=False),
                      np.float64)
     outs = {}
+    os.environ['DAFT_PTC_MIN_BATCH'] = '1'   # B=1 test mel
     for flag in ('0', '1'):
         os.environ['DAFT_MRF_PTC'] = flag
         try:
@@ -743,6 +744,7 @@ def test_generator_ptc_int8_serving():
                 int8_act_scales=scales, interpret=True), np.float64)
         finally:
             os.environ.pop('DAFT_MRF_PTC', None)
+    os.environ.pop('DAFT_PTC_MIN_BATCH', None)
     assert outs['1'].shape == ref.shape
     rel_paths = (np.linalg.norm(outs['1'] - outs['0'])
                  / (np.linalg.norm(outs['0']) + 1e-30))
@@ -770,6 +772,7 @@ def test_generator_ptc_int8_dynamic():
     ref = np.asarray(generator_forward(params, mel, use_pallas=False),
                      np.float64)
     outs = {}
+    os.environ['DAFT_PTC_MIN_BATCH'] = '1'   # B=1 test mel
     for flag in ('0', '1'):
         os.environ['DAFT_MRF_PTC_DYN'] = flag
         try:
@@ -778,6 +781,7 @@ def test_generator_ptc_int8_dynamic():
                 interpret=True), np.float64)
         finally:
             os.environ.pop('DAFT_MRF_PTC_DYN', None)
+    os.environ.pop('DAFT_PTC_MIN_BATCH', None)
     rel_paths = (np.linalg.norm(outs['1'] - outs['0'])
                  / (np.linalg.norm(outs['0']) + 1e-30))
     cut = 2048
