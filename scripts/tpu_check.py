@@ -203,8 +203,12 @@ def check_compact(results):
 
 def check_ptc(results):
     """Compiled phase-tc vs banded-compact int8-static chain agreement at
-    the L3 shape: the s32 dot sums are exact integers, so the forms may
-    differ only by f32-epilogue FMA regrouping (rel ~1e-5 band)."""
+    the L3 shape. The s32 dot sums are exact integers, but BOTH packers
+    quantize on-device through different op sequences (one-ulp scale
+    differences flip int8 weights by ±1) and the f32 epilogues FMA
+    differently — measured rel 3.6e-4 on the full 18-conv V1 chain. The
+    band is set to 10% of the int8-vs-f32 serving budget (2e-3): real
+    kernel breakage (a wrong tap/shift) lands at rel ~1."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
         fused_mrf_phase, fused_mrf_ptc, pack_mrf_phase_weights,
         pack_mrf_ptc_weights, to_phase)
@@ -241,8 +245,8 @@ def check_ptc(results):
         jnp.swapaxes(xp, 1, 2), w_ptc, ks, dils, p, tile=1024), np.float64)
     rel = float(np.linalg.norm(np.swapaxes(y_ptc, 1, 2) - y_band)
                 / (np.linalg.norm(y_band) + 1e-30))
-    results['ptc_vs_banded_int8'] = {'rel_l2': rel, 'tol': 1e-4,
-                                     'pass': rel < 1e-4}
+    results['ptc_vs_banded_int8'] = {'rel_l2': rel, 'tol': 2e-3,
+                                     'pass': rel < 2e-3}
     print(f'  ptc vs banded rel {rel:.2e}', flush=True)
 
 
