@@ -35,7 +35,9 @@ def numerics_gate_status():
     arts = glob.glob(os.path.join(repo, 'NUMERICS*.json'))
     if not arts:
         return 'missing'
-    newest = max(arts, key=os.path.getmtime)
+    # name as tiebreak: a fresh clone checks out every artifact with the
+    # same mtime, and round numbers sort lexically (r04 < r05)
+    newest = max(arts, key=lambda p: (os.path.getmtime(p), p))
     try:
         with open(newest) as f:
             art = json.load(f)

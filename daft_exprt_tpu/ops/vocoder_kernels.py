@@ -1748,9 +1748,9 @@ def ptc_post_feasible(kernel_sizes, dilations, p, post_k, tile):
     return True
 
 
-def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p, C,
+def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p,
                           post_k=0, ups_shifts=(), ups_base=0, halo_in=0,
-                          c_rows=0, dyn=False):
+                          dyn=False):
     """Phase-tc MRF fusion (int8-static, or per-tile dynamic scales with
     ``dyn``). x_hbm: (B, rows + 2*halo_in, p_in*C_in) in HBM; refs =
     per-(block, dilation) 7 (static) / 6 (dyn) chain refs
@@ -1888,7 +1888,6 @@ def _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p, tile=8192,
                        post_weights=None, post_k=0, ups_weights=None,
                        ups_shifts=(), dyn=False, interpret=False):
     B, rows, lanes = x.shape
-    C = lanes // p if ups_weights is None else None
     halo = ptc_chain_halo(kernel_sizes, dilations, p)
     if rows % tile != 0:
         raise ValueError(f'rows={rows} not a multiple of tile={tile}')
@@ -1914,15 +1913,13 @@ def _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p, tile=8192,
         halo_in = -(-max(halo - usmin, halo + usmax) // 64) * 64
         ups_base = halo_in - halo + usmin
         weights += [Uq, sw_u, b_u]
-        if C is None:
-            C = Uq.shape[2] // p
 
     xpad = jnp.pad(x, ((0, 0), (halo_in, halo_in), (0, 0)))
     kernel = functools.partial(
         _fused_mrf_ptc_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
-        p=p, C=C, post_k=post_k, ups_shifts=tuple(ups_shifts),
-        ups_base=ups_base, halo_in=halo_in, c_rows=c_rows, dyn=dyn)
+        p=p, post_k=post_k, ups_shifts=tuple(ups_shifts),
+        ups_base=ups_base, halo_in=halo_in, dyn=dyn)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:
