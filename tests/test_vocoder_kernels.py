@@ -736,15 +736,17 @@ def test_generator_ptc_int8_serving():
                      np.float64)
     outs = {}
     os.environ['DAFT_PTC_MIN_BATCH'] = '1'   # B=1 test mel
-    for flag in ('0', '1'):
-        os.environ['DAFT_MRF_PTC'] = flag
-        try:
-            outs[flag] = np.asarray(generator_forward(
-                params, mel, use_pallas=True, int8=True,
-                int8_act_scales=scales, interpret=True), np.float64)
-        finally:
-            os.environ.pop('DAFT_MRF_PTC', None)
-    os.environ.pop('DAFT_PTC_MIN_BATCH', None)
+    try:
+        for flag in ('0', '1'):
+            os.environ['DAFT_MRF_PTC'] = flag
+            try:
+                outs[flag] = np.asarray(generator_forward(
+                    params, mel, use_pallas=True, int8=True,
+                    int8_act_scales=scales, interpret=True), np.float64)
+            finally:
+                os.environ.pop('DAFT_MRF_PTC', None)
+    finally:
+        os.environ.pop('DAFT_PTC_MIN_BATCH', None)
     assert outs['1'].shape == ref.shape
     rel_paths = (np.linalg.norm(outs['1'] - outs['0'])
                  / (np.linalg.norm(outs['0']) + 1e-30))
@@ -773,15 +775,17 @@ def test_generator_ptc_int8_dynamic():
                      np.float64)
     outs = {}
     os.environ['DAFT_PTC_MIN_BATCH'] = '1'   # B=1 test mel
-    for flag in ('0', '1'):
-        os.environ['DAFT_MRF_PTC_DYN'] = flag
-        try:
-            outs[flag] = np.asarray(generator_forward(
-                params, mel, use_pallas=True, int8=True,
-                interpret=True), np.float64)
-        finally:
-            os.environ.pop('DAFT_MRF_PTC_DYN', None)
-    os.environ.pop('DAFT_PTC_MIN_BATCH', None)
+    try:
+        for flag in ('0', '1'):
+            os.environ['DAFT_MRF_PTC_DYN'] = flag
+            try:
+                outs[flag] = np.asarray(generator_forward(
+                    params, mel, use_pallas=True, int8=True,
+                    interpret=True), np.float64)
+            finally:
+                os.environ.pop('DAFT_MRF_PTC_DYN', None)
+    finally:
+        os.environ.pop('DAFT_PTC_MIN_BATCH', None)
     rel_paths = (np.linalg.norm(outs['1'] - outs['0'])
                  / (np.linalg.norm(outs['0']) + 1e-30))
     cut = 2048
