@@ -347,10 +347,22 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
         # B=1 (chained RTF 4.95 vs 4.41 ms: ~190 small dots/tile expose
         # per-op latency without batch grid rows to hide it) — route by
         # the static batch size, banded below DAFT_PTC_MIN_BATCH
+        # the bf16 tier CAN route here too (fdot mode: same zero-staging
+        # form with unquantized bf16 dots) but measured SLOWER at
+        # pipeline level — B=128 bf16 tier 2045 banded vs ptc 1912/1978/
+        # 2013 at tiles 4096/8192/16384: at the 1x bf16 MXU rate the
+        # form's 2.92x-dense FLOPs (banded-compact: 2.14x) cost more
+        # than the eliminated staging saves. Opt-in via
+        # DAFT_MRF_PTC_BF16=1 (kept correctness-tested); int8's 2x s8
+        # rate is what makes ptc win there.
         want_ptc = (use_pallas and cfg['resblock'] == '1' and chain
-                    and int8
-                    and (lvl_scales is not None
-                         or os.environ.get('DAFT_MRF_PTC_DYN', '1') != '0')
+                    and (int8
+                         and (lvl_scales is not None
+                              or os.environ.get('DAFT_MRF_PTC_DYN',
+                                                '1') != '0')
+                         or not int8
+                         and os.environ.get('DAFT_MRF_PTC_BF16',
+                                            '0') != '0')
                     and os.environ.get('DAFT_MRF_PTC', '1') != '0'
                     and x.shape[0] >= int(os.environ.get(
                         'DAFT_PTC_MIN_BATCH', '8'))
@@ -367,8 +379,8 @@ def generator_forward(params: Dict[str, Any], mel, config=None,
                 params, x, i, cfg, want_p, cur_p,
                 ups=dict(params[f'ups_{i}'], stride=u,
                          padding=(k - u) // 2),
-                post=post, act_scales=lvl_scales,
-                interpret=interpret)
+                post=post, act_scales=lvl_scales if int8 else None,
+                int8=int8, interpret=interpret)
             if y_ptc is not None:
                 x = y_ptc
                 cur_p = want_p
@@ -629,8 +641,10 @@ def _pallas_mrf_tc(params, x_tc, level, cfg, tile, int8=False,
 
 
 def _pallas_mrf_ptc(params, x_rows, level, cfg, p, p_in, ups, post,
-                    act_scales, interpret=False):
-    """Fused upsample + MRF (+ conv_post) in phase-tc layout, int8-static.
+                    act_scales, int8=True, interpret=False):
+    """Fused upsample + MRF (+ conv_post) in phase-tc layout: int8-static
+    (``act_scales``), dynamic-int8 (``int8`` without scales), or bf16
+    float dots (``int8=False`` — the bf16 serving tier).
 
     x_rows: (B, Q, p_in*C_in) with p_in*C_in == 128 (the tc layout the
     wide levels emit is the p_in=1 case). Returns (y, post_applied) —
@@ -638,19 +652,33 @@ def _pallas_mrf_ptc(params, x_rows, level, cfg, p, p_in, ups, post,
     or (None, False) when the row count cannot tile (caller falls back
     to the banded phase path)."""
     from daft_exprt_tpu.ops.vocoder_kernels import (
-        fused_mrf_ptc, pack_mrf_ptc_weights, pack_post_ptc_weights,
+        fused_mrf_ptc, pack_mrf_ptc_f_weights, pack_mrf_ptc_weights,
+        pack_post_ptc_weights, pack_ups_ptc_f_weights,
         pack_ups_ptc_weights, ptc_post_feasible)
     ks = tuple(cfg['resblock_kernel_sizes'])
     dils = tuple(tuple(d) for d in cfg['resblock_dilation_sizes'])
     rows = x_rows.shape[1]
-    eff = int(os.environ.get('DAFT_PTC_TILE', '') or 8192)
+    eff = int(os.environ.get('DAFT_PTC_TILE', '')
+              or (8192 if int8 else 4096))
     while rows % eff != 0 and eff > 64:
         eff //= 2
     if rows % eff != 0:
         return None, False
-    weights = pack_mrf_ptc_weights(params, level, ks, dils, p, act_scales)
-    Uq, sw_u, b_u, u_shifts = pack_ups_ptc_weights(
-        ups['w'], ups['b'], ups['stride'], ups['padding'], p_in)
+    if int8:
+        weights = pack_mrf_ptc_weights(params, level, ks, dils, p,
+                                       act_scales)
+        Uq, sw_u, b_u, u_shifts = pack_ups_ptc_weights(
+            ups['w'], ups['b'], ups['stride'], ups['padding'], p_in)
+        ups_w = (Uq, sw_u, b_u)
+    else:
+        wdt = (x_rows.dtype if x_rows.dtype == jnp.bfloat16
+               else jnp.bfloat16)
+        weights = pack_mrf_ptc_f_weights(params, level, ks, dils, p,
+                                         dtype=wdt)
+        U, b_u, u_shifts = pack_ups_ptc_f_weights(
+            ups['w'], ups['b'], ups['stride'], ups['padding'], p_in,
+            dtype=wdt)
+        ups_w = (U, b_u)
     post_w, post_k = None, 0
     if post is not None and ptc_post_feasible(ks, dils, p,
                                               post['w'].shape[-1], eff):
@@ -659,8 +687,9 @@ def _pallas_mrf_ptc(params, x_rows, level, cfg, p, p_in, ups, post,
         post_w = (P, b_p)
     y = fused_mrf_ptc(x_rows, weights, ks, dils, p, tile=eff,
                       post_weights=post_w, post_k=post_k,
-                      ups_weights=(Uq, sw_u, b_u), ups_shifts=u_shifts,
-                      dyn=act_scales is None, interpret=interpret)
+                      ups_weights=ups_w, ups_shifts=u_shifts,
+                      dyn=int8 and act_scales is None, fdot=not int8,
+                      interpret=interpret)
     return y, post_w is not None
 
 

@@ -1674,6 +1674,46 @@ def pack_mrf_ptc_weights(params, level, kernel_sizes, dilations, p,
     return out
 
 
+def pack_mrf_ptc_f_weights(params, level, kernel_sizes, dilations, p,
+                           dtype=jnp.bfloat16):
+    """One level's resblocks -> phase-tc FLOAT weights (the bf16 serving
+    tier's form of :func:`pack_mrf_ptc_weights`): per (block, dilation)
+    [W1 (S1, p*C, p*C) ``dtype``, b1 (1, p*C) f32, W2, b2] — the same
+    shift matrices as the int8 packer, unquantized."""
+    out = []
+    for j, (k, dils_) in enumerate(zip(kernel_sizes, dilations)):
+        rb = params[f'resblock_{level}_{j}']
+        for i, d in enumerate(dils_):
+            M1, _, _ = _ptc_band(rb[f'convs1_{i}']['w'], d, p, None)
+            M2, _, _ = _ptc_band(rb[f'convs2_{i}']['w'], 1, p, None)
+            out += [M1.astype(dtype),
+                    jnp.tile(rb[f'convs1_{i}']['b'],
+                             p)[None, :].astype(jnp.float32),
+                    M2.astype(dtype),
+                    jnp.tile(rb[f'convs2_{i}']['b'],
+                             p)[None, :].astype(jnp.float32)]
+    return out
+
+
+def pack_ups_ptc_f_weights(w, b, stride, padding, p_in,
+                           dtype=jnp.bfloat16):
+    """Float form of :func:`pack_ups_ptc_weights`:
+    (U (S, p_in*C_in, po*C_out) ``dtype``, bias (1, po*C_out) f32,
+    shifts tuple) — the bf16 tier's fused-ups prologue weights."""
+    C_in, C_out, k = w.shape
+    entries, dmin, dmax = _ups_phase_entries(k, stride, padding, p_in)
+    po = stride * p_in
+    shifts = tuple(sorted({d for *_, d in entries}))
+    sidx = {s_: i for i, s_ in enumerate(shifts)}
+    U = jnp.zeros((len(shifts), p_in * C_in, po * C_out), jnp.float32)
+    wf = w.astype(jnp.float32)
+    for (r, j, a, d) in entries:
+        U = U.at[sidx[d], a * C_in:(a + 1) * C_in,
+                 r * C_out:(r + 1) * C_out].add(wf[:, :, j])
+    bias = jnp.tile(b, po)[None, :].astype(jnp.float32)
+    return U.astype(dtype), bias, shifts
+
+
 def pack_ups_ptc_weights(w, b, stride, padding, p_in):
     """ConvTranspose1d (torch (C_in, C_out, k)) -> phase-tc prologue
     weights: (Uq (S, p_in*C_in, po*C_out) s8, sw (1, po*C_out),
@@ -1750,16 +1790,17 @@ def ptc_post_feasible(kernel_sizes, dilations, p, post_k, tile):
 
 def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p,
                           post_k=0, ups_shifts=(), ups_base=0, halo_in=0,
-                          dyn=False):
-    """Phase-tc MRF fusion (int8-static, or per-tile dynamic scales with
-    ``dyn``). x_hbm: (B, rows + 2*halo_in, p_in*C_in) in HBM; refs =
-    per-(block, dilation) 7 (static) / 6 (dyn) chain refs
-    [+ P, b_post when post_k] [+ Uq, sw_u, b_u when ups_shifts] + o_ref +
+                          dyn=False, fdot=False):
+    """Phase-tc MRF fusion (int8-static, per-tile dynamic scales with
+    ``dyn``, or unquantized bf16/f32 dots with ``fdot``). x_hbm:
+    (B, rows + 2*halo_in, p_in*C_in) in HBM; refs = per-(block, dilation)
+    7 (static) / 6 (dyn) / 4 (fdot) chain refs [+ P, b_post when post_k]
+    [+ Uq, sw_u, b_u — or U, b_u under fdot — when ups_shifts] + o_ref +
     x_scratch + sem. No staging scratch: every tap shift is a sublane
     slice."""
-    n_w = (6 if dyn else 7) * sum(len(d) for d in dils)
+    n_w = (4 if fdot else 6 if dyn else 7) * sum(len(d) for d in dils)
     n_post = 2 if post_k else 0
-    n_ups = 3 if ups_shifts else 0
+    n_ups = (2 if fdot else 3) if ups_shifts else 0
     base = n_w + n_post + n_ups
     o_ref = refs[base]
     x_scratch = refs[base + 1]
@@ -1778,28 +1819,44 @@ def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p,
     a0 = sp_post['smin'] if post_k else 0
 
     if ups_shifts:
-        Uq, sw_u, b_u = refs[n_w + n_post:n_w + n_post + 3]
         L0 = tile + 2 * halo
         xin_f = _lrelu(x_scratch[:].astype(jnp.float32))
-        qx, sx = _quantize_dynamic(xin_f)
         usmin = ups_shifts[0]
-        acc = None
-        for si, s_ in enumerate(ups_shifts):
-            seg = qx[ups_base + (s_ - usmin):
-                     ups_base + (s_ - usmin) + L0]
-            c = jnp.dot(seg, Uq[si], preferred_element_type=jnp.int32)
-            acc = c if acc is None else acc + c
-        x0 = acc.astype(jnp.float32) * (sw_u[:] * sx) + b_u[:]
+        if fdot:
+            U, b_u = refs[n_w + n_post:n_w + n_post + 2]
+            ux = xin_f.astype(U.dtype)
+            acc = None
+            for si, s_ in enumerate(ups_shifts):
+                seg = ux[ups_base + (s_ - usmin):
+                         ups_base + (s_ - usmin) + L0]
+                c = jnp.dot(seg, U[si],
+                            preferred_element_type=jnp.float32)
+                acc = c if acc is None else acc + c
+            x0 = acc + b_u[:]
+        else:
+            Uq, sw_u, b_u = refs[n_w + n_post:n_w + n_post + 3]
+            qx, sx = _quantize_dynamic(xin_f)
+            acc = None
+            for si, s_ in enumerate(ups_shifts):
+                seg = qx[ups_base + (s_ - usmin):
+                         ups_base + (s_ - usmin) + L0]
+                c = jnp.dot(seg, Uq[si],
+                            preferred_element_type=jnp.int32)
+                acc = c if acc is None else acc + c
+            x0 = acc.astype(jnp.float32) * (sw_u[:] * sx) + b_u[:]
     else:
         x0 = x_scratch[:].astype(jnp.float32)     # (tile + 2*halo, p*C)
 
-    def conv_q8(q_in, W_ref, sp, L_out):
+    def conv_band(q_in, W_ref, sp, L_out, pref):
         acc = None
         for si, s_ in enumerate(sp['shifts']):
             seg = q_in[s_ - sp['smin']: s_ - sp['smin'] + L_out]
-            c = jnp.dot(seg, W_ref[si], preferred_element_type=jnp.int32)
+            c = jnp.dot(seg, W_ref[si], preferred_element_type=pref)
             acc = c if acc is None else acc + c
         return acc
+
+    def conv_q8(q_in, W_ref, sp, L_out):
+        return conv_band(q_in, W_ref, sp, L_out, jnp.int32)
 
     acc_out = None
     ref_idx = 0
@@ -1812,7 +1869,16 @@ def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p,
             sp2 = _ptc_spec(k, 1, p)
             L1 = cur_len - sp1['span']
             L2 = L1 - sp2['span']
-            if dyn:
+            if fdot:
+                W1, b1, W2, b2 = refs[ref_idx:ref_idx + 4]
+                ref_idx += 4
+                a_in = _lrelu(cur).astype(W1.dtype)
+                acc1 = conv_band(a_in, W1, sp1, L1, jnp.float32)
+                a1 = acc1 + b1[:]
+                a_mid = _lrelu(a1).astype(W2.dtype)
+                acc2 = conv_band(a_mid, W2, sp2, L2, jnp.float32)
+                a2 = acc2 + b2[:]
+            elif dyn:
                 W1, sw1, b1, W2, sw2, b2 = refs[ref_idx:ref_idx + 6]
                 ref_idx += 6
                 q_in, sx1 = _quantize_dynamic(_lrelu(cur))
@@ -1852,9 +1918,12 @@ def _fused_mrf_ptc_kernel(x_hbm, *refs, tile, halo, ks, dils, p,
 
 def fused_mrf_ptc(x, weights, kernel_sizes, dilations, p, tile=8192,
                   post_weights=None, post_k=0, ups_weights=None,
-                  ups_shifts=(), dyn=False, interpret=False):
+                  ups_shifts=(), dyn=False, fdot=False, interpret=False):
     """Fused MRF resblock group in phase-tc layout — the int8-static
-    serving kernel for the narrow (C*p == 128) levels.
+    serving kernel for the narrow (C*p == 128) levels; ``fdot`` runs the
+    same form with unquantized bf16/f32 dots (weights from
+    :func:`pack_mrf_ptc_f_weights` / :func:`pack_ups_ptc_f_weights`) for
+    the bf16 serving tier.
 
     x: (B, rows, 128). Without ``ups_weights``, rows = T/p and the lanes
     hold this level's p phases x C channels. With ``ups_weights`` =
@@ -1877,16 +1946,17 @@ def fused_mrf_ptc(x, weights, kernel_sizes, dilations, p, tile=8192,
                               tile=tile, post_weights=post_weights,
                               post_k=post_k, ups_weights=ups_weights,
                               ups_shifts=tuple(ups_shifts), dyn=bool(dyn),
-                              interpret=interpret)
+                              fdot=bool(fdot), interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=('kernel_sizes', 'dilations',
                                              'p', 'tile', 'post_k',
-                                             'ups_shifts', 'dyn',
+                                             'ups_shifts', 'dyn', 'fdot',
                                              'interpret'))
 def _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p, tile=8192,
                        post_weights=None, post_k=0, ups_weights=None,
-                       ups_shifts=(), dyn=False, interpret=False):
+                       ups_shifts=(), dyn=False, fdot=False,
+                       interpret=False):
     B, rows, lanes = x.shape
     halo = ptc_chain_halo(kernel_sizes, dilations, p)
     if rows % tile != 0:
@@ -1908,18 +1978,17 @@ def _fused_mrf_ptc_jit(x, weights, kernel_sizes, dilations, p, tile=8192,
     if ups_weights is None:
         ups_shifts = ()
     else:
-        Uq, sw_u, b_u = ups_weights
         usmin, usmax = ups_shifts[0], ups_shifts[-1]
         halo_in = -(-max(halo - usmin, halo + usmax) // 64) * 64
         ups_base = halo_in - halo + usmin
-        weights += [Uq, sw_u, b_u]
+        weights += list(ups_weights)   # (Uq, sw, b) int8 / (U, b) fdot
 
     xpad = jnp.pad(x, ((0, 0), (halo_in, halo_in), (0, 0)))
     kernel = functools.partial(
         _fused_mrf_ptc_kernel, tile=tile, halo=halo,
         ks=tuple(kernel_sizes), dils=tuple(tuple(d) for d in dilations),
         p=p, post_k=post_k, ups_shifts=tuple(ups_shifts),
-        ups_base=ups_base, halo_in=halo_in, dyn=dyn)
+        ups_base=ups_base, halo_in=halo_in, dyn=dyn, fdot=fdot)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     for w in weights:

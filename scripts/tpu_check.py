@@ -249,6 +249,25 @@ def check_ptc(results):
                                      'pass': rel < 2e-3}
     print(f'  ptc vs banded rel {rel:.2e}', flush=True)
 
+    # bf16 float-dot mode (the bf16 serving tier's narrow-level route):
+    # same shift matrices, unquantized bf16 dots — band is the bf16
+    # rounding envelope of an 18-conv chain, not a quantization budget
+    from daft_exprt_tpu.ops.vocoder_kernels import pack_mrf_ptc_f_weights
+    p16 = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), params)
+    w_band16 = pack_mrf_phase_weights(p16, 0, ks, dils, p)
+    y_band16 = np.asarray(fused_mrf_phase(
+        xp.astype(jnp.bfloat16), w_band16, ks, dils, p, tile=1024,
+        in_phase=True, out_phase=True), np.float64)
+    w_ptc16 = pack_mrf_ptc_f_weights(p16, 0, ks, dils, p)
+    y_ptc16 = np.asarray(fused_mrf_ptc(
+        jnp.swapaxes(xp, 1, 2).astype(jnp.bfloat16), w_ptc16, ks, dils,
+        p, tile=1024, fdot=True), np.float64)
+    rel16 = float(np.linalg.norm(np.swapaxes(y_ptc16, 1, 2) - y_band16)
+                  / (np.linalg.norm(y_band16) + 1e-30))
+    results['ptc_bf16_vs_banded_bf16'] = {'rel_l2': rel16, 'tol': 3e-2,
+                                          'pass': rel16 < 3e-2}
+    print(f'  ptc-bf16 vs banded-bf16 rel {rel16:.2e}', flush=True)
+
 
 def check_train_step(results):
     print('train step (compiling)...', flush=True)

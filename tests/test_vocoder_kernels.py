@@ -794,3 +794,44 @@ def test_generator_ptc_int8_dynamic():
                / (np.linalg.norm(ref[..., cut:-cut]) + 1e-30))
     assert rel_paths < 0.08, rel_paths
     assert rel_ref < 0.10, rel_ref
+
+
+def test_generator_ptc_bf16_serving():
+    """The bf16 serving tier routes the narrow tail through the phase-tc
+    kernel in float-dot mode (fdot: same zero-staging shift matrices,
+    unquantized bf16 dots). Tracks the banded bf16 chain inside the bf16
+    rounding band and the f32 XLA reference inside the bf16-tier
+    budget."""
+    import jax
+    import jax.numpy as jnp
+    from daft_exprt_tpu.models.hifigan import (
+        generator_forward, init_generator_params)
+    params = init_generator_params(jax.random.PRNGKey(11))
+    mel = jnp.asarray(np.random.RandomState(12).randn(1, 80, 64)
+                      .astype(np.float32))
+    ref = np.asarray(generator_forward(params, mel, use_pallas=False),
+                     np.float64)
+    p16 = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), params)
+    m16 = mel.astype(jnp.bfloat16)
+    outs = {}
+    os.environ['DAFT_PTC_MIN_BATCH'] = '1'   # B=1 test mel
+    try:
+        for flag in ('0', '1'):
+            os.environ['DAFT_MRF_PTC_BF16'] = flag
+            try:
+                outs[flag] = np.asarray(generator_forward(
+                    p16, m16, use_pallas=True, interpret=True),
+                    np.float64)
+            finally:
+                os.environ.pop('DAFT_MRF_PTC_BF16', None)
+    finally:
+        os.environ.pop('DAFT_PTC_MIN_BATCH', None)
+    assert outs['1'].shape == ref.shape
+    rel_paths = (np.linalg.norm(outs['1'] - outs['0'])
+                 / (np.linalg.norm(outs['0']) + 1e-30))
+    cut = 2048
+    rel_ref = (np.linalg.norm(outs['1'][..., cut:-cut]
+                              - ref[..., cut:-cut])
+               / (np.linalg.norm(ref[..., cut:-cut]) + 1e-30))
+    assert rel_paths < 0.03, rel_paths
+    assert rel_ref < 0.05, rel_ref
